@@ -1,0 +1,194 @@
+"""Statistics straight from haplotype-by-site allele matrices.
+
+This is the TPU-native data path that subsumes the reference's external
+native tools (SURVEY.md §2.2): where the reference shells out per window to
+
+- ``impg similarity``  for an identity matrix (run_pica2_impg.sh:162-168),
+- ``impg query | odgi | povu gfa2vcf | wc -l`` for the segregating-site
+  count S (run_tajd.sh:126-148),
+
+here a window is a dense [N, S] int matrix of allele codes (rows =
+haplotypes, columns = variant sites; -1 = missing/pad) and everything
+derives from it on-device:
+
+- pairwise difference counts D[i,j] (→ identity matrix: 1 - D/L), as
+  one-hot matmuls on the MXU rather than pairwise sequence alignment;
+- S as a fused column reduction (count of polymorphic sites);
+- the allele-frequency spectrum as a bincount over per-site minor/derived
+  allele counts (the capability of wip/op-afs.py, without its
+  first-allele-only quirk — op-afs.py:40-44).
+
+Biallelic (0/1) windows take a fast path: D = r_i + r_j - 2·X Xᵀ, a single
+f32 matmul.  Multiallelic codes use Σ_a X_a X_aᵀ over one-hot slices.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "pairwise_diff",
+    "pairwise_diff_biallelic",
+    "identity_from_alleles",
+    "segregating_sites",
+    "allele_frequency_spectrum",
+    "AlleleWindowStats",
+    "allele_window_stats",
+]
+
+
+def _site_valid(geno: jnp.ndarray, member: jnp.ndarray, site_mask: jnp.ndarray):
+    """Validity of each (haplotype, site) cell: member row, active site,
+    non-missing call (>= 0)."""
+    return (geno >= 0) & member[:, None] & site_mask[None, :]
+
+
+def pairwise_diff_biallelic(
+    geno: jnp.ndarray, member: jnp.ndarray, site_mask: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pairwise difference counts for 0/1 allele codes.
+
+    Returns (diff [N, N] f32, compared [N, N] f32) where ``compared`` counts
+    sites at which both haplotypes have valid calls — the denominator for
+    identity.  d_ij over valid sites = Σ_s (x_is - x_js)² = r_i + r_j - 2XXᵀ
+    restricted to mutually-valid sites, i.e.
+    d = (X·VᵀX?)  computed as  XVᵀ·(V - X) + (V - X)·(XV)ᵀ with
+    X = geno·valid (zeros at invalid), V = valid:
+    diff = X(V-X)ᵀ + (V-X)Xᵀ  — two f32 matmuls on the MXU.
+    """
+    valid = _site_valid(geno, member, site_mask)
+    v = valid.astype(jnp.float32)
+    x = jnp.where(valid, geno, 0).astype(jnp.float32)
+    xc = v - x  # complement within valid sites
+    diff = (
+        jnp.dot(x, xc.T, preferred_element_type=jnp.float32)
+        + jnp.dot(xc, x.T, preferred_element_type=jnp.float32)
+    )
+    compared = jnp.dot(v, v.T, preferred_element_type=jnp.float32)
+    return diff, compared
+
+
+def pairwise_diff(
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    num_alleles: int = 2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pairwise difference counts for general allele codes 0..num_alleles-1.
+
+    match_ij = Σ_a (X==a)(X==a)ᵀ over valid sites; diff = compared - match.
+    num_alleles is static (one matmul per allele value).
+    """
+    if num_alleles == 2:
+        return pairwise_diff_biallelic(geno, member, site_mask)
+    valid = _site_valid(geno, member, site_mask)
+    v = valid.astype(jnp.float32)
+    compared = jnp.dot(v, v.T, preferred_element_type=jnp.float32)
+    match = jnp.zeros_like(compared)
+    for a in range(num_alleles):
+        xa = (jnp.where(valid, geno, -1) == a).astype(jnp.float32)
+        match = match + jnp.dot(xa, xa.T, preferred_element_type=jnp.float32)
+    return compared - match, compared
+
+
+def identity_from_alleles(
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    length: jnp.ndarray,
+    num_alleles: int = 2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Estimated identity matrix 1 - diff/length + presence mask.
+
+    ``length`` is the window length in bp (monomorphic sites carry no
+    difference, so dividing the variant-site difference count by the full
+    window length reproduces the identity scale of ``impg similarity``).
+    Pairs with zero mutually-valid sites are marked absent.
+    """
+    diff, compared = pairwise_diff(geno, member, site_mask, num_alleles)
+    present = (compared > 0) & member[:, None] & member[None, :]
+    sim = jnp.where(present, 1.0 - diff / jnp.maximum(length, 1.0), 0.0)
+    n_cap = member.shape[0]
+    eye = jnp.eye(n_cap, dtype=bool)
+    sim = jnp.where(eye & member[:, None], 1.0, sim)
+    return sim, present
+
+
+def segregating_sites(
+    geno: jnp.ndarray, member: jnp.ndarray, site_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """S = number of polymorphic columns (>= 2 distinct valid alleles).
+
+    The fused-reduction replacement for the reference's
+    ``povu gfa2vcf | grep -v '^#' | wc -l`` pipeline (run_tajd.sh:148): a
+    site segregates iff max valid allele != min valid allele.
+    """
+    valid = _site_valid(geno, member, site_mask)
+    big = jnp.iinfo(jnp.int32).max
+    g = geno.astype(jnp.int32)
+    col_min = jnp.min(jnp.where(valid, g, big), axis=0)
+    col_max = jnp.max(jnp.where(valid, g, -1), axis=0)
+    any_valid = jnp.any(valid, axis=0)
+    poly = any_valid & (col_max > col_min)
+    return jnp.sum(poly.astype(jnp.int32))
+
+
+def allele_frequency_spectrum(
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    max_n: int,
+    folded: bool = True,
+) -> jnp.ndarray:
+    """Site-frequency spectrum over polymorphic sites.
+
+    Returns counts[k] = number of polymorphic sites whose non-reference
+    (or minor, if folded) allele count equals k, for k in [0, max_n].
+    Biallelic semantics: allele 1 is the derived/alternate state.
+    """
+    valid = _site_valid(geno, member, site_mask)
+    ones = jnp.sum(jnp.where(valid, geno, 0).astype(jnp.int32), axis=0)
+    total = jnp.sum(valid.astype(jnp.int32), axis=0)
+    poly = (ones > 0) & (ones < total)
+    count = ones
+    if folded:
+        count = jnp.minimum(ones, total - ones)
+    count = jnp.where(poly, count, 0)
+    hist = (
+        jnp.zeros(max_n + 1, dtype=jnp.int32)
+        .at[jnp.clip(count, 0, max_n)]
+        .add(poly.astype(jnp.int32))
+    )
+    return hist
+
+
+class AlleleWindowStats(NamedTuple):
+    """The fused per-window bundle the scan runtime emits."""
+
+    pi_direct: jnp.ndarray  # mean pairwise difference count (π, absolute)
+    s: jnp.ndarray          # segregating sites
+    n: jnp.ndarray          # valid haplotypes
+    afs: jnp.ndarray        # folded SFS histogram
+
+
+def allele_window_stats(
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    max_n: int,
+    num_alleles: int = 2,
+) -> AlleleWindowStats:
+    """π (direct mean pairwise difference), S and the SFS in one fused pass."""
+    diff, compared = pairwise_diff(geno, member, site_mask, num_alleles)
+    n_cap = member.shape[0]
+    offdiag = ~jnp.eye(n_cap, dtype=bool)
+    pair_ok = (compared > 0) & offdiag
+    total = jnp.sum(jnp.where(pair_ok, diff, 0.0)) * 0.5
+    pairs = jnp.sum(pair_ok.astype(jnp.float32)) * 0.5
+    pi = jnp.where(pairs > 0, total / jnp.maximum(pairs, 1.0), 0.0)
+    s = segregating_sites(geno, member, site_mask)
+    n = jnp.sum(member.astype(jnp.int32))
+    afs = allele_frequency_spectrum(geno, member, site_mask, max_n)
+    return AlleleWindowStats(pi, s, n, afs)

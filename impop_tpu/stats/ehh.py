@@ -1,0 +1,105 @@
+"""Extended Haplotype Homozygosity (EHH).
+
+The reference prototypes (wip/ehh2.py:72-86, wip/ehhgfa.py:6-21) compute
+EHH(i) = (# haplotype pairs identical on sites 0..i) / C(n, 2) with a triple
+Python loop re-comparing whole prefixes at every site — O(S²·n²).
+
+TPU formulation: one lax.scan over the site axis carrying the [N, N] boolean
+"still identical" pair matrix; per step an elementwise AND with the current
+site's equality matrix and a masked pair-count reduction — O(S·n²) fused
+vector work, no prefix recomparison.  The decay to both sides of a focal SNP
+and the area under the curve (wip/ehhgfa.py:47-69) build on the same scan.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ehh_forward", "ehh_bidirectional", "ehh_decay_from_focal", "EhhResult"]
+
+
+def _pair_mask(member: jnp.ndarray) -> jnp.ndarray:
+    n_cap = member.shape[0]
+    upper = jnp.triu(jnp.ones((n_cap, n_cap), dtype=bool), k=1)
+    return upper & member[:, None] & member[None, :]
+
+
+def ehh_forward(
+    geno: jnp.ndarray, member: jnp.ndarray, site_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """EHH over growing prefixes [0..i] for each site i.
+
+    Matches wip/ehh2.py:72-86: pairs must agree on *every* site of the
+    prefix; the result at site i is the agreeing-pair fraction.  Sites with
+    site_mask False are ignored (treated as agreeing).  Returns [S] f32.
+    """
+    pairs = _pair_mask(member)
+    n = jnp.sum(member.astype(jnp.float32))
+    denom = jnp.maximum(n * (n - 1.0) * 0.5, 1.0)
+
+    def step(alive, inputs):
+        col, active = inputs
+        eq = col[:, None] == col[None, :]
+        alive = alive & (eq | ~active)
+        frac = jnp.sum((alive & pairs).astype(jnp.float32)) / denom
+        return alive, frac
+
+    alive0 = jnp.ones_like(pairs)
+    _, fracs = jax.lax.scan(step, alive0, (geno.T, site_mask))
+    return fracs
+
+
+def ehh_bidirectional(
+    geno: jnp.ndarray, member: jnp.ndarray, site_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """[reversed EHH of the flipped matrix, forward EHH] — the concatenation
+    the reference prints (wip/ehh2.py:93-95).  Returns [2S] f32."""
+    fwd = ehh_forward(geno, member, site_mask)
+    rev = ehh_forward(geno[:, ::-1], member, site_mask[::-1])
+    return jnp.concatenate([rev[::-1], fwd])
+
+
+class EhhResult(NamedTuple):
+    ehh: jnp.ndarray   # [2*(S-1)] decay curve (left reversed ++ right)
+    area: jnp.ndarray  # scalar — cumulative sum of the curve (ehhgfa.py:64)
+    carriers: jnp.ndarray  # scalar — number of haplotypes carrying the allele
+
+
+def ehh_decay_from_focal(
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    focal: int,
+    allele: jnp.ndarray,
+) -> EhhResult:
+    """EHH decay away from a focal site for carriers of ``allele``.
+
+    Reproduces wip/ehhgfa.py:47-69: restrict to haplotypes whose call at
+    ``focal`` equals ``allele``, split the window at the focal site
+    (exclusive), compute EHH right-ward on the suffix and left-ward on the
+    reversed prefix, concatenate, and integrate via cumulative sum.
+
+    ``focal`` is a static python int (site index in the window).
+    """
+    carriers = member & (geno[:, focal] == allele)
+    s_total = geno.shape[1]
+    left = geno[:, :focal][:, ::-1]
+    left_mask = site_mask[:focal][::-1]
+    right = geno[:, focal + 1:]
+    right_mask = site_mask[focal + 1:]
+
+    left_ehh = (
+        ehh_forward(left, carriers, left_mask)
+        if focal > 0
+        else jnp.zeros((0,), dtype=jnp.float32)
+    )
+    right_ehh = (
+        ehh_forward(right, carriers, right_mask)
+        if focal + 1 < s_total
+        else jnp.zeros((0,), dtype=jnp.float32)
+    )
+    curve = jnp.concatenate([left_ehh[::-1], right_ehh])
+    area = jnp.sum(curve)
+    return EhhResult(curve, area, jnp.sum(carriers.astype(jnp.int32)))

@@ -1,0 +1,102 @@
+"""Hudson's Fst — all three estimators the reference exposes.
+
+1. :func:`hudson_fst_direct` — Fst = (Dxy - πxy)/Dxy with direct pairwise
+   means (h-fst.py:173-249 and hud.py ``-m direct``), πxy = ½(πA + πB).
+2. :func:`hudson_fst_grouped` — hud.py ``-m grouped`` (hud.py:204-263):
+   within-pop diversities via grouped frequency sums, Dxy via cross-population
+   group weights |gA|·|gB| / (nA·nB) with first-found representative pairs.
+3. :func:`fst_3pi` — the "3-π" union estimator of run_fst_impg.sh:199-218:
+   Fst = (πC - ½(πA+πB)) / πC over three pica2-grouped π values, NaN when
+   πC == 0 (the driver prints NA).
+
+All are pure functions of SimTile arrays + population masks; batch over
+windows with vmap.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from impop_tpu.stats.diversity import DiversityResult, direct_diversity
+from impop_tpu.stats.grouping import first_pair_winner, greedy_group, group_sizes
+from impop_tpu.stats.pi import grouped_diversity
+
+__all__ = ["FstResult", "hudson_fst_direct", "hudson_fst_grouped", "fst_3pi"]
+
+
+class FstResult(NamedTuple):
+    """The reference's six-column Fst output (h-fst.py:338-339).
+
+    All diversity fields are raw sums (not per-site); divide by window length
+    for the per-site table values (h-fst.py:233-240).
+    """
+
+    fst: jnp.ndarray
+    pi_a: jnp.ndarray
+    pi_b: jnp.ndarray
+    pi_xy: jnp.ndarray
+    dxy: jnp.ndarray
+    da: jnp.ndarray
+
+    def per_site(self, length) -> "FstResult":
+        inv = 1.0 / length
+        return FstResult(
+            self.fst, self.pi_a * inv, self.pi_b * inv,
+            self.pi_xy * inv, self.dxy * inv, self.da * inv,
+        )
+
+
+def _assemble(pi_a, pi_b, dxy) -> FstResult:
+    pi_xy = 0.5 * (pi_a + pi_b)
+    fst = jnp.where(dxy > 0, (dxy - pi_xy) / jnp.where(dxy > 0, dxy, 1.0), 0.0)
+    return FstResult(fst, pi_a, pi_b, pi_xy, dxy, dxy - pi_xy)
+
+
+def hudson_fst_direct(sim, present, mask_a, mask_b) -> FstResult:
+    """Hudson Fst, direct method.  mask_a/mask_b must be disjoint (the
+    reference strips overlap before computing, h-fst.py:181-185)."""
+    pi_a = direct_diversity(sim, present, mask_a).mean
+    pi_b = direct_diversity(sim, present, mask_b).mean
+    dxy = direct_diversity(sim, present, mask_a, mask_b).mean
+    return _assemble(pi_a, pi_b, dxy)
+
+
+def hudson_fst_grouped(sim, present, mask_a, mask_b, threshold) -> FstResult:
+    """Hudson Fst, hud.py grouped method (hud.py:204-263).
+
+    πA, πB: grouped_diversity within each population (first-pair reps,
+    Bessel n/(n-1)).  Dxy: group populations separately, then
+    Σ over cross group pairs (|gA|·|gB| / (nA·nB)) · (1 - s_first_pair)
+    — no Bessel factor (hud.py:244-262).
+    """
+    pi_a = grouped_diversity(sim, present, mask_a, threshold).pi
+    pi_b = grouped_diversity(sim, present, mask_b, threshold).pi
+
+    gid_a = greedy_group(sim, present, mask_a, threshold)
+    gid_b = greedy_group(sim, present, mask_b, threshold)
+    sizes_a = group_sizes(gid_a, mask_a)
+    sizes_b = group_sizes(gid_b, mask_b)
+    n_a = jnp.sum(mask_a.astype(jnp.float32))
+    n_b = jnp.sum(mask_b.astype(jnp.float32))
+
+    winner = first_pair_winner(
+        present, mask_a, gid_a, gid_b, member_col=mask_b, ordered=True
+    )
+    n_cap = mask_a.shape[0]
+    size_of_a = sizes_a[jnp.clip(gid_a, 0, n_cap - 1)].astype(jnp.float32)
+    size_of_b = sizes_b[jnp.clip(gid_b, 0, n_cap - 1)].astype(jnp.float32)
+    weight = size_of_a[:, None] * size_of_b[None, :] / jnp.maximum(n_a * n_b, 1.0)
+    dxy = jnp.sum(jnp.where(winner, weight * (1.0 - sim), 0.0))
+    return _assemble(pi_a, pi_b, dxy)
+
+
+def fst_3pi(pi_a, pi_b, pi_c):
+    """3-π Fst (run_fst_impg.sh:207-218): (πC - ½(πA+πB)) / πC; NaN if πC==0.
+
+    Inputs may be raw or per-site π as long as all three share the scale —
+    the reference feeds per-site values (pica2 stdout first token).
+    """
+    pi_ab = 0.5 * (pi_a + pi_b)
+    return jnp.where(pi_c != 0, (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0),
+                     jnp.nan)

@@ -1,0 +1,201 @@
+"""Allele-class grouping kernels.
+
+The reference carries three distinct clustering semantics (SURVEY.md §3.5):
+
+1. **Greedy single-link, one hop** (pica2.py:98-110): pop a seed, absorb all
+   *remaining* elements whose similarity to the seed exceeds the threshold,
+   repeat.  Seed order in the reference is Python-set pop order — not
+   reproducible.  Our documented spec fixes the deterministic order to the
+   sorted-identifier row order (rows of a SimTile are sorted by name), which
+   makes the seed the lexicographic minimum of its group, and therefore equal
+   to the group's representative (``groups[i][0]`` at pica2.py:128).
+
+2. The same greedy grouping, but with a **first-found representative pair**
+   between groups (hud.py:88-98) rather than seed-vs-seed similarity.
+   Implemented in :func:`first_pair_winner`.
+
+3. **Transitive union-find closure** (af.py:21-44), linking every pair with
+   similarity >= threshold.  On TPU this becomes log-depth reachability via
+   boolean matrix squaring (:func:`label_components`) — connected components
+   as O(log N) MXU matmuls instead of a pointer-chasing loop.
+
+All functions are single-window, fixed-shape, jit/vmap friendly.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "greedy_group",
+    "group_sizes",
+    "rep_weights",
+    "first_pair_winner",
+    "label_components",
+]
+
+
+def greedy_group(
+    sim: jnp.ndarray,
+    present: jnp.ndarray,
+    member: jnp.ndarray,
+    threshold: float | jnp.ndarray,
+) -> jnp.ndarray:
+    """Greedy one-hop grouping (pica2 semantics, deterministic seed order).
+
+    Args:
+      sim:     [N, N] f32 symmetric similarities (already decimal-rounded)
+      present: [N, N] bool pair-has-data mask
+      member:  [N] bool row validity
+      threshold: scalar; absorb ``other`` into the seed's group iff
+        ``sim(seed, other) > threshold`` (strict, pica2.py:106)
+
+    Returns:
+      gid [N] int32 — for members, the row index of the group's seed
+      (== lexicographic min member == the reference's representative);
+      N (the capacity, an out-of-range sentinel) for padding rows.
+    """
+    n_cap = member.shape[0]
+    link = (sim > threshold) & present & member[None, :] & member[:, None]
+
+    def body(i, state):
+        assigned, gid = state
+        is_seed = member[i] & jnp.logical_not(assigned[i])
+        take = jnp.logical_not(assigned) & link[i]
+        take = take.at[i].set(member[i])
+        take = take & is_seed
+        gid = jnp.where(take, i, gid)
+        assigned = assigned | take
+        return assigned, gid
+
+    assigned0 = jnp.zeros(n_cap, dtype=bool)
+    gid0 = jnp.full(n_cap, n_cap, dtype=jnp.int32)
+    _, gid = jax.lax.fori_loop(0, n_cap, body, (assigned0, gid0))
+    return gid
+
+
+def group_sizes(gid: jnp.ndarray, member: jnp.ndarray) -> jnp.ndarray:
+    """sizes[s] = number of members whose group seed is row s (0 elsewhere)."""
+    n_cap = gid.shape[0]
+    return (
+        jnp.zeros(n_cap + 1, dtype=jnp.int32)
+        .at[gid]
+        .add(member.astype(jnp.int32))[:n_cap]
+    )
+
+
+def rep_weights(gid: jnp.ndarray, member: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row group-frequency weights concentrated on representatives.
+
+    Returns (w [N] f32, n scalar f32) where w[s] = |group(s)| / n for each
+    seed row s and 0 elsewhere.  The frequency-weighted pairwise sum
+    Σ_{a<b} 2 (1-sim_ab) f_a f_b over group representatives then becomes the
+    quadratic form wᵀ((1-sim)⊙mask)w — the MXU formulation of pica2.py:125-145.
+    """
+    sizes = group_sizes(gid, member)
+    n = jnp.sum(member.astype(jnp.float32))
+    is_rep = sizes > 0
+    w = jnp.where(is_rep, sizes.astype(jnp.float32) / jnp.maximum(n, 1.0), 0.0)
+    return w, n
+
+
+def first_pair_winner(
+    present: jnp.ndarray,
+    member_row: jnp.ndarray,
+    gid_row: jnp.ndarray,
+    gid_col: jnp.ndarray,
+    member_col: jnp.ndarray | None = None,
+    ordered: bool = False,
+) -> jnp.ndarray:
+    """Select hud.py's "first found" representative element pair per group pair.
+
+    get_group_similarity (hud.py:88-98) scans group1's sorted members, then
+    group2's, and takes the first pair present in the similarity dict.  With
+    rows in sorted-name order that winner is the element pair (i, j)
+    minimising (rank of i in its group, rank of j in its group)
+    lexicographically among present pairs.
+
+    Args:
+      present: [N, N] pair-has-data mask
+      member_row: [N] bool — row-side validity (e.g. population A members)
+      gid_row: [N] group ids for the row side
+      gid_col: [N] group ids for the column side (same array for within-set
+               use; population-B groups for the cross-population Dxy case)
+      member_col: [N] bool — column-side validity (defaults to member_row)
+      ordered: if False, restrict to gid_row < gid_col (unordered group pairs
+               in group-sorted order, matching ``groups[i], groups[j], i<j``);
+               if True, keep all ordered pairs with gid_row != gid_col
+               (cross-population case where the two group labelings are
+               disjoint row-index sets).
+
+    Returns:
+      winner [N, N] bool — True at exactly one (i, j) per group pair that has
+      any present pair.
+    """
+    if member_col is None:
+        member_col = member_row
+    n_cap = member_row.shape[0]
+    order = jnp.arange(n_cap, dtype=jnp.int32)
+
+    def rank_of(gid, member):
+        same = (gid[:, None] == gid[None, :]) & member[None, :]
+        before = order[None, :] < order[:, None]
+        return jnp.sum(same & before, axis=1).astype(jnp.int32)
+
+    rank_r = rank_of(gid_row, member_row)
+    rank_c = rank_of(gid_col, member_col)
+
+    valid = present & member_row[:, None] & member_col[None, :]
+    if ordered:
+        valid = valid & (gid_row[:, None] != gid_col[None, :])
+    else:
+        valid = valid & (gid_row[:, None] < gid_col[None, :])
+
+    key = rank_r[:, None] * n_cap + rank_c[None, :]
+    big = n_cap * n_cap + 1
+    key = jnp.where(valid, key, big)
+
+    seg = gid_row[:, None].astype(jnp.int32) * (n_cap + 1) + gid_col[None, :]
+    seg_min = (
+        jnp.full((n_cap + 1) * (n_cap + 1), big, dtype=jnp.int32)
+        .at[seg.ravel()]
+        .min(key.ravel())
+    )
+    winner = valid & (key == seg_min[seg]) & (key < big)
+    return winner
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def label_components(
+    adjacency: jnp.ndarray, member: jnp.ndarray, num_iters: int | None = None
+) -> jnp.ndarray:
+    """Connected-component labels via boolean matrix squaring.
+
+    TPU-native replacement for af.py's union-find (af.py:21-33): reachability
+    R = (A | I)^(2^k) computed with ⌈log2 N⌉ f32 matmuls on the MXU, then each
+    node's label is the smallest reachable row index.  Exactly the transitive
+    closure the reference's union-find produces.
+
+    Args:
+      adjacency: [N, N] bool, symmetric link matrix (e.g. sim >= threshold)
+      member:    [N] bool row validity
+    Returns:
+      label [N] int32 — min reachable member index; N for padding rows.
+    """
+    n_cap = member.shape[0]
+    if num_iters is None:
+        num_iters = max(1, (n_cap - 1).bit_length())
+    eye = jnp.eye(n_cap, dtype=bool)
+    reach = (adjacency | eye) & member[:, None] & member[None, :]
+
+    def body(_, r):
+        rf = r.astype(jnp.float32)
+        r2 = jnp.dot(rf, rf, preferred_element_type=jnp.float32) > 0.5
+        return r2 | r
+
+    reach = jax.lax.fori_loop(0, num_iters, body, reach)
+    order = jnp.arange(n_cap, dtype=jnp.int32)
+    label = jnp.min(jnp.where(reach, order[None, :], n_cap), axis=1)
+    return jnp.where(member, label, n_cap)

@@ -1,0 +1,77 @@
+"""EHH scan kernel vs the reference's triple-loop semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from impop_tpu.stats.ehh import ehh_bidirectional, ehh_decay_from_focal, ehh_forward
+
+
+def oracle_ehh(hap: np.ndarray) -> np.ndarray:
+    """Direct reimplementation of wip/ehh2.py:72-86 (without its round())."""
+    n, s = hap.shape
+    out = np.zeros(s)
+    denom = n * (n - 1) / 2
+    for i in range(s):
+        agree = 0
+        for j in range(n):
+            for k in range(j + 1, n):
+                if np.array_equal(hap[j, : i + 1], hap[k, : i + 1]):
+                    agree += 1
+        out[i] = agree / denom
+    return out
+
+
+def _tile(hap, cap_n=16, cap_s=32):
+    n, s = hap.shape
+    geno = np.full((cap_n, cap_s), -1, dtype=np.int8)
+    geno[:n, :s] = hap
+    member = np.zeros(cap_n, dtype=bool); member[:n] = True
+    site_mask = np.zeros(cap_s, dtype=bool); site_mask[:s] = True
+    return jnp.asarray(geno), jnp.asarray(member), jnp.asarray(site_mask)
+
+
+def test_ehh_forward_matches_reference_loops(rng):
+    hap = rng.integers(0, 3, size=(6, 10)).astype(np.int8)
+    geno, member, site_mask = _tile(hap)
+    got = np.asarray(jax.jit(ehh_forward)(geno, member, site_mask))[:10]
+    np.testing.assert_allclose(got, oracle_ehh(hap), atol=1e-6)
+
+
+def test_ehh_reference_fixture():
+    """The A1 matrix from wip/ehh2.py:3-10 — all rows identical => EHH == 1."""
+    hap = np.tile(np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 0], dtype=np.int8), (6, 1))
+    geno, member, site_mask = _tile(hap)
+    got = np.asarray(jax.jit(ehh_forward)(geno, member, site_mask))[:10]
+    np.testing.assert_allclose(got, np.ones(10), atol=1e-7)
+
+
+def test_ehh_bidirectional_shape(rng):
+    hap = rng.integers(0, 2, size=(5, 12)).astype(np.int8)
+    geno, member, site_mask = _tile(hap, cap_s=12)
+    got = np.asarray(jax.jit(ehh_bidirectional)(geno, member, site_mask))
+    assert got.shape == (24,)
+    fwd = oracle_ehh(hap)
+    rev = oracle_ehh(hap[:, ::-1])
+    want = np.concatenate([rev[::-1], fwd])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_ehh_decay_from_focal(rng):
+    """Carrier subsetting + split/concat/area semantics of wip/ehhgfa.py."""
+    hap = rng.integers(0, 2, size=(8, 11)).astype(np.int8)
+    focal = 5
+    geno, member, site_mask = _tile(hap, cap_s=11)
+    res = jax.jit(ehh_decay_from_focal, static_argnames=("focal",))(
+        geno, member, site_mask, focal=focal, allele=jnp.int8(1)
+    )
+    sub = hap[hap[:, focal] == 1]
+    a = sub[:, :focal]
+    b = sub[:, focal + 1:]
+    if len(sub) >= 2:
+        left = oracle_ehh(a[:, ::-1])
+        right = oracle_ehh(b)
+        want_curve = np.concatenate([left[::-1], right])
+        got = np.asarray(res.ehh)
+        np.testing.assert_allclose(got, want_curve, atol=1e-6)
+        np.testing.assert_allclose(float(res.area), want_curve.sum(), rtol=1e-5)
+    assert int(res.carriers) == len(sub)
