@@ -45,35 +45,63 @@ def greedy_group(
 ) -> jnp.ndarray:
     """Greedy one-hop grouping (pica2 semantics, deterministic seed order).
 
+    Semantics (pica2.py:98-110 with sorted seed order): process rows in
+    ascending index; an unabsorbed row becomes a seed and absorbs every
+    still-unabsorbed later row whose similarity to it exceeds the threshold
+    (strict >, pica2.py:106).  Equivalently:
+
+      seed(i)  ⟺  no seed j < i with link(j, i)
+      gid(i)   =   i if seed(i) else min{ seed j < i : link(j, i) }
+
+    The seed set is the order-first covering set — inherently sequential in
+    the worst case, but computable by *frontier peeling*: each round decides
+    every row whose earlier linked neighbours are all decided (the smallest
+    undecided row always qualifies, so progress is guaranteed).  Rounds =
+    link-graph dependency depth, which for identity matrices thresholded
+    near 1.0 is the cluster-chain length (2-4 in practice, N worst case) —
+    replacing an N-step sequential loop with a handful of [N, N] vector
+    rounds; the final gid is a closed-form masked argmin.
+
     Args:
       sim:     [N, N] f32 symmetric similarities (already decimal-rounded)
       present: [N, N] bool pair-has-data mask
       member:  [N] bool row validity
-      threshold: scalar; absorb ``other`` into the seed's group iff
-        ``sim(seed, other) > threshold`` (strict, pica2.py:106)
+      threshold: scalar
 
     Returns:
       gid [N] int32 — for members, the row index of the group's seed
-      (== lexicographic min member == the reference's representative);
-      N (the capacity, an out-of-range sentinel) for padding rows.
+      (== lexicographic min member == the reference's representative,
+      pica2.py:128); N (an out-of-range sentinel) for padding rows.
     """
     n_cap = member.shape[0]
     link = (sim > threshold) & present & member[None, :] & member[:, None]
+    order = jnp.arange(n_cap, dtype=jnp.int32)
+    # elink[j, i]: j < i and linked — the "earlier neighbour" relation
+    elink = link & (order[:, None] < order[None, :])
 
-    def body(i, state):
-        assigned, gid = state
-        is_seed = member[i] & jnp.logical_not(assigned[i])
-        take = jnp.logical_not(assigned) & link[i]
-        take = take.at[i].set(member[i])
-        take = take & is_seed
-        gid = jnp.where(take, i, gid)
-        assigned = assigned | take
-        return assigned, gid
+    def cond(state):
+        decided, _ = state
+        return jnp.any(member & ~decided)
 
-    assigned0 = jnp.zeros(n_cap, dtype=bool)
-    gid0 = jnp.full(n_cap, n_cap, dtype=jnp.int32)
-    _, gid = jax.lax.fori_loop(0, n_cap, body, (assigned0, gid0))
-    return gid
+    def body(state):
+        decided, seed = state
+        blocked = jnp.any(elink & ~decided[:, None], axis=0)
+        frontier = member & ~decided & ~blocked
+        absorbed = jnp.any(elink & (decided & seed)[:, None], axis=0)
+        new_seed = frontier & ~absorbed
+        return decided | frontier, seed | new_seed
+
+    decided0 = ~member
+    seed0 = jnp.zeros(n_cap, dtype=bool)
+    _, seed = jax.lax.while_loop(cond, body, (decided0, seed0))
+
+    # gid(i) = min seed j < i with link(j, i); i itself if seed; N if padding
+    cand = elink & seed[:, None]  # [j, i] — earlier linked seeds
+    min_seed = jnp.min(
+        jnp.where(cand, order[:, None], n_cap), axis=0
+    ).astype(jnp.int32)
+    gid = jnp.where(seed, order, min_seed)
+    return jnp.where(member, gid, n_cap)
 
 
 def group_sizes(gid: jnp.ndarray, member: jnp.ndarray) -> jnp.ndarray:
