@@ -1,0 +1,626 @@
+"""Command-line drivers.
+
+One entry point (``python -m impop_tpu.cli`` or the ``impop-tpu`` script)
+with subcommands mirroring the reference's seven bash drivers and Python
+tools (SURVEY.md §2.1), plus the fused TPU-native ``scan``:
+
+  pi           run_pica2_impg.sh     π window scan
+  hfst         run_h-fst.sh          Hudson Fst (direct), 8-column table
+  hud          hudson/run_hud.sh     Hudson Fst, -m direct|grouped
+  fst3pi       run_fst_impg.sh       3-π union Fst, 9-column table
+  tajd         run_tajd.sh           S + π + Tajima's D, 6-column table
+  afs          af.py                 allele-class cluster frequencies
+  panels-tajd  run_tajd_panels.sh    5-panel Tajima batch
+  panels-hfst  run_h_fst_panels.sh   10-pair Hudson batch
+  makewindows  (bedtools capability) fixed-width BED windows
+  plot         plot_*_trend.R        trend plots (π / Fst / Tajima's D)
+  scan         —                     fused π+Fst+TajD+AFS from allele tiles
+
+Inputs: similarity matrices come from per-window TSVs (``--sim-dir``, the
+reference's own intermediate format) or live extraction via an ``impg``
+binary when present (``--paf/--agc``); allele windows come from ``.npz``
+tiles (``--geno-dir``, the native format emitted by the extraction layer).
+Windows that fail to load are skipped with a warning, matching the
+reference's per-window skip-and-continue (run_pica2_impg.sh:168-180).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from impop_tpu.io.bed import Region, make_windows, read_bed
+from impop_tpu.io.panels import read_panel_file, union_panel
+from impop_tpu.io.simtsv import SimilarityMatrix, read_similarity_tsv
+from impop_tpu.report import tables
+
+
+def _warn(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+def _out_stream(path: Optional[str]):
+    return open(path, "w") if path else sys.stdout
+
+
+# --------------------------------------------------------------- sim sources
+
+
+class WindowError(RuntimeError):
+    pass
+
+
+def _sanitize(region: str) -> str:
+    return region.replace("#", "_").replace(":", "_").replace("-", "_")
+
+
+class SimSource:
+    """Resolve a region string to a SimilarityMatrix."""
+
+    def load(self, region: str) -> SimilarityMatrix:
+        raise NotImplementedError
+
+
+class DirSimSource(SimSource):
+    """Per-window TSVs in a directory.
+
+    Tries ``<region>.sim``, ``<region>.tsv``, then sanitized variants
+    (``#``/``:``/``-`` → ``_``).
+    """
+
+    def __init__(self, directory: str, round_digits: Optional[int]):
+        self.directory = directory
+        self.round_digits = round_digits
+
+    def load(self, region: str) -> SimilarityMatrix:
+        candidates = [
+            f"{region}.sim", f"{region}.tsv",
+            f"{_sanitize(region)}.sim", f"{_sanitize(region)}.tsv",
+        ]
+        for cand in candidates:
+            path = os.path.join(self.directory, cand)
+            if os.path.exists(path):
+                return read_similarity_tsv(path, self.round_digits)
+        raise WindowError(f"no similarity file for region {region} "
+                          f"in {self.directory}")
+
+
+class ImpgSimSource(SimSource):
+    """Live extraction through an external ``impg`` binary (compat mode:
+    exactly the reference's L1 call, run_pica2_impg.sh:162-168)."""
+
+    def __init__(self, paf: str, agc: str, round_digits: Optional[int],
+                 subset_list: Optional[str] = None):
+        self.paf = paf
+        self.agc = agc
+        self.round_digits = round_digits
+        self.subset_list = subset_list
+
+    def load(self, region: str) -> SimilarityMatrix:
+        cmd = ["impg", "similarity", "-p", self.paf, "-r", region,
+               "--sequence-files", self.agc]
+        if self.subset_list:
+            cmd += ["--subset-sequence-list", self.subset_list]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=600)
+        except (OSError, subprocess.TimeoutExpired) as e:
+            raise WindowError(f"impg similarity failed for {region}: {e}")
+        if proc.returncode != 0:
+            raise WindowError(f"impg similarity failed for {region}")
+        import io as _io
+        return read_similarity_tsv(_io.StringIO(proc.stdout),
+                                   self.round_digits)
+
+
+def _make_sim_source(args) -> SimSource:
+    if getattr(args, "sim_dir", None):
+        return DirSimSource(args.sim_dir, args.round)
+    if getattr(args, "paf", None) and getattr(args, "agc", None):
+        return ImpgSimSource(args.paf, args.agc, args.round,
+                             getattr(args, "subset", None))
+    raise SystemExit(
+        "error: provide --sim-dir (per-window TSVs) or --paf + --agc "
+        "(live impg extraction)"
+    )
+
+
+class GenoSource:
+    """Per-window allele tiles: ``<region>.npz`` with arrays ``geno``
+    ([n, s] int8, -1 missing) and ``names`` ([n] str)."""
+
+    def __init__(self, directory: str):
+        self.directory = directory
+
+    def load(self, region: str) -> Tuple[np.ndarray, List[str]]:
+        for cand in (f"{region}.npz", f"{_sanitize(region)}.npz"):
+            path = os.path.join(self.directory, cand)
+            if os.path.exists(path):
+                data = np.load(path, allow_pickle=False)
+                names = [str(x) for x in data["names"]]
+                return data["geno"].astype(np.int8), names
+        raise WindowError(f"no allele tile for region {region} "
+                          f"in {self.directory}")
+
+
+# --------------------------------------------------------------- batching
+
+
+def _capacity_for(n_values: Sequence[int], floor: int = 64) -> int:
+    cap = max([floor] + list(n_values))
+    # round up to a lane-friendly multiple
+    m = 128 if cap > 64 else 64
+    return ((cap + m - 1) // m) * m
+
+
+def _load_windows(
+    regions: Sequence[Region],
+    src: SimSource,
+    prefix: str,
+) -> Tuple[List[Region], List[SimilarityMatrix], List[str]]:
+    kept: List[Region] = []
+    mats: List[SimilarityMatrix] = []
+    region_strings: List[str] = []
+    for reg in regions:
+        rs = reg.region_string(prefix)
+        try:
+            mats.append(src.load(rs))
+        except WindowError as e:
+            _warn(f"Warning: {e}; skipping window")
+            continue
+        kept.append(reg)
+        region_strings.append(rs)
+    return kept, mats, region_strings
+
+
+# --------------------------------------------------------------- pi
+
+
+def cmd_pi(args) -> int:
+    from impop_tpu.parallel.scan import batch_pi_panels
+    from impop_tpu.runtime.batcher import PanelSet, build_window_batch
+
+    regions = read_bed(args.bed)
+    src = _make_sim_source(args)
+    kept, mats, region_strings = _load_windows(regions, src, args.prefix)
+    if not kept:
+        _warn("Warning: no windows could be processed")
+
+    subset_label = os.path.basename(args.subset) if args.subset else None
+    panels = (
+        PanelSet.from_dict({"S": tuple(read_panel_file(args.subset))})
+        if args.subset else None
+    )
+
+    out = _out_stream(args.output)
+    try:
+        print(tables.pi_table_header(subset_label is not None), file=out)
+        if not kept:
+            return 0
+        cap = _capacity_for([m.n for m in mats])
+        batch, _ = build_window_batch(mats, panels, capacity=cap)
+        res = batch_pi_panels(batch.sim, batch.present, batch.member,
+                              batch.panels, args.threshold)
+        pi = np.asarray(res.pi)[:, 0]
+        for wi, reg in enumerate(kept):
+            length = args.length or reg.length
+            pica = tables.format_pica_output(
+                float(pi[wi]), float(pi[wi]) / length, length
+            )
+            print(tables.pi_row(region_strings[wi], subset_label, length,
+                                args.threshold, args.round, pica), file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+# --------------------------------------------------------------- hudson fst
+
+
+def _two_panel_batch(args, mats, exact=False):
+    from impop_tpu.runtime.batcher import PanelSet, build_window_batch
+
+    pop_a = read_panel_file(args.pop_a)
+    pop_b = read_panel_file(args.pop_b)
+    panels = PanelSet.from_dict({"A": tuple(pop_a), "B": tuple(pop_b)})
+    cap = _capacity_for([m.n for m in mats])
+    return build_window_batch(mats, panels, capacity=cap,
+                              exact_names=exact)[0]
+
+
+def _run_hudson(args, grouped: bool) -> int:
+    import jax.numpy as jnp
+
+    from impop_tpu.parallel.scan import batch_hudson
+
+    regions = read_bed(args.bed)
+    src = _make_sim_source(args)
+    kept, mats, region_strings = _load_windows(regions, src, args.prefix)
+
+    out = _out_stream(args.output)
+    try:
+        print(tables.HFST_HEADER, file=out)
+        if not kept:
+            return 0
+        batch = _two_panel_batch(args, mats, exact=args.exact_names)
+        res = batch_hudson(
+            batch.sim, batch.present, batch.member, batch.panels,
+            jnp.asarray([0], jnp.int32), jnp.asarray([1], jnp.int32),
+            args.threshold, with_grouped=grouped,
+        )
+        chosen = res.grouped if grouped else res.direct
+        pi_a_v = np.asarray(chosen.pi_a, dtype=np.float64)[:, 0]
+        pi_b_v = np.asarray(chosen.pi_b, dtype=np.float64)[:, 0]
+        dxy_v = np.asarray(chosen.dxy, dtype=np.float64)[:, 0]
+        for wi, reg in enumerate(kept):
+            length = reg.length
+            # derived quantities recomputed host-side in f64 (the reference
+            # is all-f64; this avoids extra f32 cancellation in fst/da,
+            # h-fst.py:203-215)
+            pi_a, pi_b, dxy = pi_a_v[wi], pi_b_v[wi], dxy_v[wi]
+            pi_xy = 0.5 * (pi_a + pi_b)
+            fst = (dxy - pi_xy) / dxy if dxy > 0 else 0.0
+            da = dxy - pi_xy
+            inv = 1.0 / length
+            print(tables.hfst_row(
+                region_strings[wi], length, fst,
+                pi_a * inv, pi_b * inv, pi_xy * inv, dxy * inv, da * inv,
+            ), file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def cmd_hfst(args) -> int:
+    return _run_hudson(args, grouped=False)
+
+
+def cmd_hud(args) -> int:
+    return _run_hudson(args, grouped=(args.method == "grouped"))
+
+
+# --------------------------------------------------------------- 3-pi fst
+
+
+def cmd_fst3pi(args) -> int:
+    import jax.numpy as jnp
+
+    from impop_tpu.parallel.scan import batch_fst_3pi_panels
+
+    regions = read_bed(args.bed)
+    src = _make_sim_source(args)
+    kept, mats, region_strings = _load_windows(regions, src, args.prefix)
+
+    out = _out_stream(args.output)
+    try:
+        print(tables.FST3PI_HEADER, file=out)
+        if not kept:
+            return 0
+        batch = _two_panel_batch(args, mats, exact=args.exact_names)
+        res = batch_fst_3pi_panels(
+            batch.sim, batch.present, batch.member, batch.panels,
+            jnp.asarray([0], jnp.int32), jnp.asarray([1], jnp.int32),
+            args.threshold,
+        )
+        for wi, reg in enumerate(kept):
+            length = reg.length
+            print(tables.fst3pi_row(
+                region_strings[wi], length, args.threshold, args.round,
+                float(res.pi_a[wi, 0]) / length,
+                float(res.pi_b[wi, 0]) / length,
+                float(res.pi_c[wi, 0]) / length,
+            ), file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+# --------------------------------------------------------------- tajima's d
+
+
+def cmd_tajd(args) -> int:
+    import jax.numpy as jnp
+
+    from impop_tpu.parallel.scan import batch_tajd_from_alleles
+    from impop_tpu.runtime.batcher import pad_batch_count
+
+    regions = read_bed(args.bed)
+    geno_src = GenoSource(args.geno_dir)
+    sample_list = read_panel_file(args.samples) if args.samples else None
+
+    kept: List[Region] = []
+    tiles: List[Tuple[np.ndarray, List[str]]] = []
+    region_strings: List[str] = []
+    for reg in regions:
+        rs = reg.region_string(args.prefix)
+        try:
+            tiles.append(geno_src.load(rs))
+        except WindowError as e:
+            _warn(f"Warning: {e}; skipping window")
+            continue
+        kept.append(reg)
+        region_strings.append(rs)
+
+    out = _out_stream(args.output)
+    try:
+        print(tables.TAJD_HEADER, file=out)
+        if not kept:
+            return 0
+        cap_n = _capacity_for([t[0].shape[0] for t in tiles])
+        cap_s = max(8, max(t[0].shape[1] for t in tiles))
+        cap_s = ((cap_s + 127) // 128) * 128
+        w = len(tiles)
+        geno = np.full((w, cap_n, cap_s), -1, dtype=np.int8)
+        member = np.zeros((w, cap_n), dtype=bool)
+        site_mask = np.zeros((w, cap_s), dtype=bool)
+        panels = np.zeros((w, 1, cap_n), dtype=bool)
+        lengths = np.zeros((w,), dtype=np.float32)
+        for wi, ((g, names), reg) in enumerate(zip(tiles, kept)):
+            order = np.argsort(names)
+            g = g[order]
+            names = [names[i] for i in order]
+            n, s = g.shape
+            geno[wi, :n, :s] = g
+            member[wi, :n] = True
+            site_mask[wi, :s] = True
+            lengths[wi] = args.length or reg.length
+            if sample_list is None:
+                panels[wi, 0, :n] = True
+            else:
+                from impop_tpu.io.panels import expand_population
+                matched, _ = expand_population(sample_list, names)
+                for i, nm in enumerate(names):
+                    if nm in matched:
+                        panels[wi, 0, i] = True
+        res = batch_tajd_from_alleles(
+            jnp.asarray(geno), jnp.asarray(member), jnp.asarray(site_mask),
+            jnp.asarray(panels), lengths, args.threshold,
+        )
+        for wi, reg in enumerate(kept):
+            print(tables.tajd_row(
+                region_strings[wi], int(lengths[wi]),
+                int(np.asarray(res.n)[wi, 0]), int(np.asarray(res.s)[wi]),
+                float(np.asarray(res.pi)[wi, 0]),
+                float(np.asarray(res.d)[wi, 0]),
+            ), file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+# --------------------------------------------------------------- afs
+
+
+def cmd_afs(args) -> int:
+    import jax
+
+    from impop_tpu.stats.grouping import label_components
+    from impop_tpu.stats.types import sim_tile_from_matrix
+
+    # af.py truncates identifiers at the first ':' (af.py:13-14)
+    mat = read_similarity_tsv(args.input)
+    short = [n.split(":", 1)[0] for n in mat.names]
+    uniq = sorted(set(short))
+    idx = {n: i for i, n in enumerate(uniq)}
+    n = len(uniq)
+    sim = np.zeros((n, n)); present = np.zeros((n, n), dtype=bool)
+    np.fill_diagonal(present, True); np.fill_diagonal(sim, 1.0)
+    for i in range(mat.n):
+        for j in range(mat.n):
+            if i != j and mat.present[i, j]:
+                a, b = idx[short[i]], idx[short[j]]
+                sim[a, b] = max(sim[a, b], mat.sim[i, j]) if present[a, b] and a != b else mat.sim[i, j]
+                present[a, b] = True
+
+    cap = _capacity_for([n])
+    sim_p = np.zeros((cap, cap), dtype=np.float32); sim_p[:n, :n] = sim
+    pres_p = np.zeros((cap, cap), dtype=bool); pres_p[:n, :n] = present
+    member = np.zeros(cap, dtype=bool); member[:n] = True
+    # af.py links pairs with value >= threshold (af.py:38)
+    adj = (sim_p >= args.threshold) & pres_p
+    labels = np.asarray(jax.jit(label_components)(adj, member))[:n]
+
+    groups: Dict[int, List[str]] = {}
+    for i, name in enumerate(uniq):
+        groups.setdefault(int(labels[i]), []).append(name)
+    clusters = sorted(groups.values(), key=lambda c: (-len(c), sorted(c)))
+
+    out = _out_stream(args.output)
+    try:
+        print(tables.AFS_HEADER, file=out)
+        for row in tables.afs_summary_rows(clusters):
+            print(row, file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+
+    if args.details:
+        with open(args.details, "w") as fh:
+            fh.write("sample_id\tcluster_id\tthreshold\n")
+            for ci, members in enumerate(clusters, 1):
+                for s in sorted(members):
+                    fh.write(f"{s}\tc{ci}\t{args.threshold}\n")
+    return 0
+
+
+# --------------------------------------------------------------- batches
+
+
+def cmd_panels_hfst(args) -> int:
+    """All 10 unordered continental pairs (run_h_fst_panels.sh:60-71)."""
+    pairs = [("EUR", "AFR"), ("EAS", "AFR"), ("SAS", "AFR"), ("AMR", "AFR"),
+             ("EAS", "EUR"), ("SAS", "EUR"), ("AMR", "EUR"), ("EAS", "SAS"),
+             ("AMR", "SAS"), ("AMR", "EAS")]
+    for a, b in pairs:
+        sub = argparse.Namespace(**vars(args))
+        sub.pop_a = os.path.join(args.metadata_dir, f"agc.{a}")
+        sub.pop_b = os.path.join(args.metadata_dir, f"agc.{b}")
+        sub.output = f"{a.lower()}.{b.lower()}.fst"
+        if not (os.path.exists(sub.pop_a) and os.path.exists(sub.pop_b)):
+            _warn(f"Warning: missing panel list for {a} or {b}; skipping")
+            continue
+        print(f"[h-fst] {a} vs {b} -> {sub.output}", file=sys.stderr)
+        cmd_hfst(sub)
+    return 0
+
+
+def cmd_panels_tajd(args) -> int:
+    """The 5 continental panels (run_tajd_panels.sh:60-66)."""
+    panels = [("EUR", "eur.tj"), ("AFR", "afr.tj"), ("EAS", "eas.tj"),
+              ("SAS", "sas.tj"), ("AMR", "amr.tj")]
+    for group, output in panels:
+        sub = argparse.Namespace(**vars(args))
+        sub.samples = os.path.join(args.metadata_dir, f"agc.{group}")
+        sub.output = output
+        if not os.path.exists(sub.samples):
+            _warn(f"Warning: missing panel list for {group}; skipping")
+            continue
+        print(f"[tajd] {group} -> {output}", file=sys.stderr)
+        cmd_tajd(sub)
+    return 0
+
+
+# --------------------------------------------------------------- utilities
+
+
+def cmd_makewindows(args) -> int:
+    out = _out_stream(args.output)
+    try:
+        if args.bed:
+            base = read_bed(args.bed)
+        else:
+            chrom, start, end = args.region.split(args.sep)
+            base = [Region(chrom, int(start), int(end))]
+        for reg in base:
+            for win in make_windows(reg.chrom, reg.start, reg.end, args.window):
+                print(f"{win.chrom}\t{win.start}\t{win.end}", file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def cmd_plot(args) -> int:
+    from impop_tpu.report.plots import plot_trend
+
+    return plot_trend(args)
+
+
+# --------------------------------------------------------------- parser
+
+
+def _add_sim_args(p):
+    p.add_argument("--sim-dir", help="directory of per-window similarity TSVs")
+    p.add_argument("--paf", help="PAF file for live impg extraction")
+    p.add_argument("--agc", help="AGC archive for live impg extraction")
+
+
+def _add_common(p):
+    p.add_argument("-b", "--bed", required=True, help="BED file of windows")
+    p.add_argument("-P", "--prefix", default="CHM13#0#",
+                   help="region prefix (default: CHM13#0#)")
+    p.add_argument("-o", "--output", help="output TSV (default: stdout)")
+    p.add_argument("-t", "--threshold", type=float, default=0.999)
+    p.add_argument("-r", "--round", type=int, default=None,
+                   help="round similarities to N decimal places")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="impop-tpu",
+        description="TPU-native population-genomics engine "
+                    "(pi / Hudson Fst / Tajima's D / AFS / EHH)",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("pi", help="nucleotide diversity window scan")
+    _add_common(p); _add_sim_args(p)
+    p.add_argument("-u", "--subset", help="panel list file (like agc.EUR)")
+    p.add_argument("-l", "--length", type=int,
+                   help="override per-site normalisation length")
+    p.set_defaults(func=cmd_pi)
+
+    for name, fn in (("hfst", cmd_hfst), ("hud", cmd_hud),
+                     ("fst3pi", cmd_fst3pi)):
+        p = sub.add_parser(name)
+        _add_common(p); _add_sim_args(p)
+        p.add_argument("-A", "--pop-a", required=True)
+        p.add_argument("-B", "--pop-b", required=True)
+        p.add_argument("--exact-names", action="store_true",
+                       help="panel lists contain exact sequence names "
+                            "(hud.py matching) instead of assembly ids "
+                            "(h-fst.py prefix matching)")
+        if name == "hud":
+            p.add_argument("-m", "--method", choices=["direct", "grouped"],
+                           default="direct")
+        p.set_defaults(func=fn)
+
+    p = sub.add_parser("tajd", help="segregating sites + pi + Tajima's D")
+    _add_common(p)
+    p.add_argument("--geno-dir", required=True,
+                   help="directory of per-window allele tiles (.npz)")
+    p.add_argument("-l", "--length", type=int)
+    p.add_argument("-s", "--samples", help="sample list file")
+    p.set_defaults(func=cmd_tajd)
+
+    p = sub.add_parser("afs", help="allele-class cluster frequencies (af.py)")
+    p.add_argument("--input", default="loc.sim")
+    p.add_argument("--threshold", type=float, default=1.0)
+    p.add_argument("--output")
+    p.add_argument("--details")
+    p.set_defaults(func=cmd_afs)
+
+    p = sub.add_parser("panels-hfst", help="all 10 continental pair Fst runs")
+    _add_common(p); _add_sim_args(p)
+    p.add_argument("--metadata-dir", required=True)
+    p.add_argument("--exact-names", action="store_true")
+    p.set_defaults(func=cmd_panels_hfst)
+
+    p = sub.add_parser("panels-tajd", help="5 continental panel Tajima runs")
+    _add_common(p)
+    p.add_argument("--geno-dir", required=True)
+    p.add_argument("--metadata-dir", required=True)
+    p.add_argument("-l", "--length", type=int)
+    p.set_defaults(func=cmd_panels_tajd)
+
+    p = sub.add_parser("makewindows", help="fixed-width windows from a region")
+    p.add_argument("--bed", help="BED of base intervals")
+    p.add_argument("--region", help="chrom<sep>start<sep>end string")
+    p.add_argument("--sep", default=":")
+    p.add_argument("-w", "--window", type=int, required=True)
+    p.add_argument("-o", "--output")
+    p.set_defaults(func=cmd_makewindows)
+
+    p = sub.add_parser("plot", help="trend plots from result tables")
+    p.add_argument("kind", choices=["pi", "fst", "tajd"])
+    p.add_argument("--input", action="append", default=[],
+                   help="[LABEL=]table.tsv (repeatable)")
+    p.add_argument("--input-dir", help="plot every file in a directory")
+    p.add_argument("--output", default=None)
+    p.add_argument("--title", default=None)
+    p.add_argument("--dpi", type=int, default=150)
+    p.add_argument("--highlight", action="append", default=[],
+                   help="chrom:start-end intervals to shade (repeatable)")
+    p.add_argument("--highlight-bed")
+    p.add_argument("--linear-y", action="store_true",
+                   help="linear y axis for pi (default: log10)")
+    p.set_defaults(func=cmd_plot)
+
+    return ap
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

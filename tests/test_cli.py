@@ -1,0 +1,156 @@
+"""End-to-end CLI driver tests on the reference's executable fixture."""
+import os
+
+import numpy as np
+import pytest
+
+from impop_tpu.cli import main
+
+FIXTURE = """group.a\tgroup.b\testimated.identity
+seq1_popA\tseq2_popA\t0.9995
+seq1_popA\tseq3_popA\t0.9993
+seq2_popA\tseq3_popA\t0.9998
+seq1_popA\tseq4_popB\t0.9950
+seq1_popA\tseq5_popB\t0.9948
+seq1_popA\tseq6_popB\t0.9952
+seq2_popA\tseq4_popB\t0.9951
+seq2_popA\tseq5_popB\t0.9949
+seq2_popA\tseq6_popB\t0.9953
+seq3_popA\tseq4_popB\t0.9949
+seq3_popA\tseq5_popB\t0.9947
+seq3_popA\tseq6_popB\t0.9951
+seq4_popB\tseq5_popB\t0.9996
+seq4_popB\tseq6_popB\t0.9994
+seq5_popB\tseq6_popB\t0.9997
+"""
+
+
+@pytest.fixture
+def fixture_dir(tmp_path):
+    simdir = tmp_path / "simdir"
+    simdir.mkdir()
+    (simdir / "chr1:0-1000000.sim").write_text(FIXTURE)
+    (tmp_path / "one.bed").write_text("chr1\t0\t1000000\n")
+    (tmp_path / "pop_A.txt").write_text("seq1_popA\nseq2_popA\nseq3_popA\n")
+    (tmp_path / "pop_B.txt").write_text("seq4_popB\nseq5_popB\nseq6_popB\n")
+    (tmp_path / "loc.sim").write_text(FIXTURE)
+    return tmp_path
+
+
+def _lines(path):
+    return [l for l in open(path).read().splitlines() if l]
+
+
+def test_cli_pi(fixture_dir):
+    out = fixture_dir / "pi.tsv"
+    main(["pi", "-b", str(fixture_dir / "one.bed"),
+          "--sim-dir", str(fixture_dir / "simdir"), "-P", "",
+          "-t", "0.999", "-r", "5", "-o", str(out)])
+    lines = _lines(out)
+    assert lines[0] == "REGION\tLENGTH\tTHRESHOLD\tR_VALUE\tPICA_OUTPUT"
+    # pica2 on the fixture: pi = 0.003000 -> per-site 3e-9 -> 0.00000000
+    assert lines[1] == ("chr1:0-1000000\t1000000\t0.999\t5\t"
+                        "0.00000000 (sequence length: 1000000)")
+
+
+def test_cli_hud_direct_matches_reference_stdout(fixture_dir):
+    out = fixture_dir / "fst.tsv"
+    main(["hud", "-b", str(fixture_dir / "one.bed"),
+          "--sim-dir", str(fixture_dir / "simdir"), "-P", "",
+          "-A", str(fixture_dir / "pop_A.txt"),
+          "-B", str(fixture_dir / "pop_B.txt"),
+          "--exact-names", "-m", "direct", "-o", str(out)])
+    lines = _lines(out)
+    assert lines[0] == "REGION\tLENGTH\tFST\tPI_A\tPI_B\tPI_XY\tDXY\tDA"
+    fields = lines[1].split("\t")
+    # reference hud.py -m direct on this fixture (captured during
+    # verification): fst=0.91000000, dxy(raw)=0.005 -> per-site 0.00000001
+    assert abs(float(fields[2]) - 0.91) < 2e-5
+    assert fields[6] == "0.00000001"
+
+
+def test_cli_hud_grouped_matches_reference_stdout(fixture_dir):
+    out = fixture_dir / "fstg.tsv"
+    main(["hud", "-b", str(fixture_dir / "one.bed"),
+          "--sim-dir", str(fixture_dir / "simdir"), "-P", "",
+          "-A", str(fixture_dir / "pop_A.txt"),
+          "-B", str(fixture_dir / "pop_B.txt"),
+          "--exact-names", "-m", "grouped", "-t", "0.999", "-o", str(out)])
+    fields = _lines(out)[1].split("\t")
+    assert float(fields[2]) == 1.0  # reference: 1.00000000
+
+
+def test_cli_fst3pi_na_on_zero_pic(fixture_dir):
+    out = fixture_dir / "f3.tsv"
+    main(["fst3pi", "-b", str(fixture_dir / "one.bed"),
+          "--sim-dir", str(fixture_dir / "simdir"), "-P", "",
+          "-A", str(fixture_dir / "pop_A.txt"),
+          "-B", str(fixture_dir / "pop_B.txt"),
+          "--exact-names", "-t", "0.999", "-o", str(out)])
+    lines = _lines(out)
+    assert lines[0].startswith("REGION\tLENGTH\tTHRESHOLD")
+    # per-site pi quantised to 8dp -> 0.00000000 -> FST NA
+    # (run_fst_impg.sh:213-216 semantics)
+    assert lines[1].endswith("\tNA")
+
+
+def test_cli_afs(fixture_dir):
+    out = fixture_dir / "afs.tsv"
+    details = fixture_dir / "afs_details.tsv"
+    main(["afs", "--input", str(fixture_dir / "loc.sim"),
+          "--threshold", "0.9995", "--output", str(out),
+          "--details", str(details)])
+    lines = _lines(out)
+    assert lines[0] == "cluster_id\tcount\tfrequency"
+    assert lines[1] == "c1\t3\t0.500000"
+    assert lines[2] == "c2\t3\t0.500000"
+    dlines = _lines(details)
+    assert dlines[0] == "sample_id\tcluster_id\tthreshold"
+    assert len(dlines) == 7
+
+
+def test_cli_tajd(fixture_dir, rng):
+    genodir = fixture_dir / "genodir"
+    genodir.mkdir()
+    n, s = 10, 30
+    geno = rng.integers(0, 2, size=(n, s)).astype(np.int8)
+    names = np.array([f"h{i:02d}#1#c" for i in range(n)])
+    np.savez(genodir / "chr1:0-1000000.npz", geno=geno, names=names)
+    out = fixture_dir / "tajd.tsv"
+    main(["tajd", "-b", str(fixture_dir / "one.bed"), "-P", "",
+          "--geno-dir", str(genodir), "-o", str(out)])
+    lines = _lines(out)
+    assert lines[0] == ("REGION\tLENGTH\tSAMPLES\tSEGREGATING_SITES\t"
+                        "PI\tTAJIMAS_D")
+    fields = lines[1].split("\t")
+    assert fields[2] == "10"
+    want_s = int((geno.max(0) != geno.min(0)).sum())
+    assert fields[3] == str(want_s)
+
+
+def test_cli_skips_missing_window(fixture_dir, capsys):
+    (fixture_dir / "two.bed").write_text("chr1\t0\t1000000\nchr9\t0\t100\n")
+    out = fixture_dir / "pi2.tsv"
+    main(["pi", "-b", str(fixture_dir / "two.bed"),
+          "--sim-dir", str(fixture_dir / "simdir"), "-P", "",
+          "-t", "0.999", "-o", str(out)])
+    assert len(_lines(out)) == 2  # header + 1 surviving window
+    assert "skipping window" in capsys.readouterr().err
+
+
+def test_cli_plot(fixture_dir):
+    out = fixture_dir / "pi.tsv"
+    main(["pi", "-b", str(fixture_dir / "one.bed"),
+          "--sim-dir", str(fixture_dir / "simdir"), "-P", "",
+          "-t", "0.999", "-o", str(out)])
+    png = fixture_dir / "trend.png"
+    main(["plot", "pi", "--input", f"FIX={out}", "--output", str(png),
+          "--highlight", "chr1:100-200", "--linear-y"])
+    assert png.exists() and png.stat().st_size > 1000
+
+
+def test_cli_makewindows(fixture_dir, capsys):
+    main(["makewindows", "--region", "chr1:0:1000", "--sep", ":", "-w", "400"])
+    out = capsys.readouterr().out
+    assert out.splitlines() == ["chr1\t0\t400", "chr1\t400\t800",
+                                "chr1\t800\t1000"]
