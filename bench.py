@@ -90,29 +90,25 @@ def device_pipeline():
 
         def one_panel(pmask):
             res = pi_grouped(sim, present, m & pmask, t)
-            pi_site = res.pi / length
-            d = tajimas_d(res.n, s_count.astype(jnp.float32), pi_site)
-            return pi_site, d
+            d = tajimas_d(res.n, s_count.astype(jnp.float32), res.pi / length)
+            return res.pi, d
 
-        pi_site, d = jax.vmap(one_panel)(panels1)
+        pi_panel, d = jax.vmap(one_panel)(panels1)
 
         def one_pair(ia, ib):
             mask_a = panels1[ia] & m
             mask_b = panels1[ib] & m
             hud = hudson_fst_direct(sim, present, mask_a, mask_b).fst
-            union = mask_a | mask_b
-            pi_a = pi_grouped(sim, present, mask_a, t).pi
-            pi_b = pi_grouped(sim, present, mask_b, t).pi
-            pi_c = pi_grouped(sim, present, union, t).pi
-            f3 = jnp.where(
-                pi_c != 0,
-                (pi_c - 0.5 * (pi_a + pi_b)) / jnp.where(pi_c != 0, pi_c, 1.0),
-                jnp.nan,
-            )
-            return hud, f3
+            pi_c = pi_grouped(sim, present, mask_a | mask_b, t).pi
+            return hud, pi_c
 
-        hud, f3 = jax.vmap(one_pair)(pair_a, pair_b)
-        return pi_site, d, hud, f3, s_count
+        hud, pi_c = jax.vmap(one_pair)(pair_a, pair_b)
+        # per-panel pi shared across pairs; union pi computed once per pair
+        pi_ab = 0.5 * (pi_panel[pair_a] + pi_panel[pair_b])
+        f3 = jnp.where(
+            pi_c != 0, (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0), jnp.nan
+        )
+        return pi_panel / length, d, hud, f3, s_count
 
     step = jax.jit(jax.vmap(one_window, in_axes=(0, 0, 0, 0, 0)))
     return step

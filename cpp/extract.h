@@ -1,0 +1,118 @@
+// impop_tpu native extraction layer.
+//
+// Replaces the *capabilities consumed* from the reference's external native
+// tools (SURVEY.md §2.2): impg's region projection through a PAF alignment
+// (impg similarity / impg query, reference run_pica2_impg.sh:162-168,
+// run_tajd.sh:126) and povu's variant decomposition (run_tajd.sh:148) —
+// re-designed to emit the haplotype-by-site allele matrices the TPU engine
+// consumes directly, instead of per-window pairwise alignment products.
+//
+// Pipeline: PAF(+CIGAR, target = reference assembly) + FASTA(.fai) sequence
+// store -> per-window: overlapping alignments -> CIGAR walk -> per-haplotype
+// variant calls vs the reference -> union of variant keys = site axis ->
+// int8 matrix (1 = variant allele, 0 = reference allele, -1 = not covered).
+// Identity matrices / segregating sites / AFS all derive from this matrix on
+// the TPU (impop_tpu/stats/allele.py).
+#pragma once
+
+#include <cstdint>
+#include <map>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace impop {
+
+// ------------------------------------------------------------------ fasta
+
+// FAI-indexed random access to a plain-text FASTA file.
+class FastaReader {
+ public:
+  // Opens path; builds <path>.fai if absent.
+  explicit FastaReader(const std::string& path);
+  bool has(const std::string& name) const;
+  // 0-based half-open [start, end) slice; clamps to sequence length.
+  std::string fetch(const std::string& name, int64_t start, int64_t end) const;
+  int64_t length(const std::string& name) const;
+
+ private:
+  struct Entry {
+    int64_t length;
+    int64_t offset;      // file offset of first base
+    int64_t line_bases;  // bases per line
+    int64_t line_bytes;  // bytes per line (incl newline)
+  };
+  std::string path_;
+  std::unordered_map<std::string, Entry> index_;
+  void build_or_load_index();
+};
+
+// ------------------------------------------------------------------ paf
+
+struct CigarOp {
+  char op;      // M, =, X, I, D (N/S/H tolerated)
+  int64_t len;
+};
+
+struct PafRecord {
+  std::string query_name;
+  int64_t query_len = 0;
+  int64_t query_start = 0;
+  int64_t query_end = 0;
+  bool reverse = false;
+  std::string target_name;
+  int64_t target_len = 0;
+  int64_t target_start = 0;
+  int64_t target_end = 0;
+  std::vector<CigarOp> cigar;  // empty if no cg:Z tag
+};
+
+// Parses a PAF file (plain or gzip) and indexes records by target name.
+class PafIndex {
+ public:
+  explicit PafIndex(const std::string& path);
+  // All records overlapping target [start, end).
+  std::vector<const PafRecord*> overlapping(const std::string& target,
+                                            int64_t start, int64_t end) const;
+  size_t size() const { return records_.size(); }
+
+ private:
+  std::vector<PafRecord> records_;
+  // per target: record indices sorted by target_start
+  std::unordered_map<std::string, std::vector<size_t>> by_target_;
+};
+
+// ------------------------------------------------------------------ window
+
+// One haplotype's calls within a window.
+struct HaplotypeCalls {
+  std::string name;                 // query (assembly contig) name
+  int64_t cover_start = 0;          // covered target span within the window
+  int64_t cover_end = 0;
+  // variant key -> present; key identifies (target_pos, ref, alt)
+  std::vector<uint32_t> variant_ids;
+};
+
+struct WindowMatrix {
+  std::vector<std::string> names;   // row names (haplotypes), sorted
+  std::vector<std::string> site_keys;  // "pos:ref>alt" per column
+  std::vector<int64_t> site_pos;    // target positions per column
+  int64_t n = 0;                    // rows
+  int64_t s = 0;                    // columns
+  std::vector<int8_t> geno;         // n*s row-major; 1 alt, 0 ref, -1 uncovered
+};
+
+class Extractor {
+ public:
+  Extractor(const std::string& paf_path, const std::string& fasta_path);
+  // Extract window [start, end) on reference sequence `target`.
+  // `target` must be the PAF target name (e.g. "CHM13#0#chr1").
+  WindowMatrix extract(const std::string& target, int64_t start,
+                       int64_t end) const;
+
+ private:
+  PafIndex paf_;
+  FastaReader fasta_;
+};
+
+}  // namespace impop

@@ -1,0 +1,113 @@
+// FAI-indexed FASTA random access (samtools faidx-compatible index).
+#include "extract.h"
+
+#include <cstdio>
+#include <fstream>
+#include <sstream>
+#include <stdexcept>
+#include <sys/stat.h>
+
+namespace impop {
+
+static bool file_exists(const std::string& p) {
+  struct stat st;
+  return stat(p.c_str(), &st) == 0;
+}
+
+FastaReader::FastaReader(const std::string& path) : path_(path) {
+  if (!file_exists(path_)) {
+    throw std::runtime_error("FASTA not found: " + path_);
+  }
+  build_or_load_index();
+}
+
+void FastaReader::build_or_load_index() {
+  const std::string fai = path_ + ".fai";
+  if (file_exists(fai)) {
+    std::ifstream in(fai);
+    std::string line;
+    while (std::getline(in, line)) {
+      if (line.empty()) continue;
+      std::istringstream ss(line);
+      std::string name;
+      Entry e;
+      ss >> name >> e.length >> e.offset >> e.line_bases >> e.line_bytes;
+      index_[name] = e;
+    }
+    if (!index_.empty()) return;
+  }
+  // Build the index in one pass.
+  std::ifstream in(path_, std::ios::binary);
+  std::string line;
+  std::string name;
+  Entry cur{0, 0, 0, 0};
+  int64_t offset = 0;
+  bool have = false;
+  auto flush = [&]() {
+    if (have) index_[name] = cur;
+  };
+  while (std::getline(in, line)) {
+    int64_t line_bytes = static_cast<int64_t>(line.size()) + 1;
+    if (!line.empty() && line[0] == '>') {
+      flush();
+      std::istringstream ss(line.substr(1));
+      ss >> name;
+      cur = Entry{0, offset + line_bytes, 0, 0};
+      have = true;
+    } else if (have && !line.empty()) {
+      if (cur.line_bases == 0) {
+        cur.line_bases = static_cast<int64_t>(line.size());
+        cur.line_bytes = line_bytes;
+      }
+      cur.length += static_cast<int64_t>(line.size());
+    }
+    offset += line_bytes;
+  }
+  flush();
+  // Persist for reuse (best effort).
+  std::ofstream out(fai);
+  if (out) {
+    for (const auto& [n, e] : index_) {
+      out << n << '\t' << e.length << '\t' << e.offset << '\t' << e.line_bases
+          << '\t' << e.line_bytes << '\n';
+    }
+  }
+}
+
+bool FastaReader::has(const std::string& name) const {
+  return index_.count(name) != 0;
+}
+
+int64_t FastaReader::length(const std::string& name) const {
+  auto it = index_.find(name);
+  return it == index_.end() ? -1 : it->second.length;
+}
+
+std::string FastaReader::fetch(const std::string& name, int64_t start,
+                               int64_t end) const {
+  auto it = index_.find(name);
+  if (it == index_.end()) {
+    throw std::runtime_error("sequence not in FASTA: " + name);
+  }
+  const Entry& e = it->second;
+  if (start < 0) start = 0;
+  if (end > e.length) end = e.length;
+  if (start >= end) return "";
+  std::ifstream in(path_, std::ios::binary);
+  std::string out;
+  out.reserve(static_cast<size_t>(end - start));
+  int64_t pos = start;
+  while (pos < end) {
+    int64_t line_idx = pos / e.line_bases;
+    int64_t in_line = pos % e.line_bases;
+    int64_t take = std::min(e.line_bases - in_line, end - pos);
+    in.seekg(e.offset + line_idx * e.line_bytes + in_line);
+    std::string buf(static_cast<size_t>(take), '\0');
+    in.read(&buf[0], take);
+    out += buf;
+    pos += take;
+  }
+  return out;
+}
+
+}  // namespace impop

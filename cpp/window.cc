@@ -1,0 +1,229 @@
+// Window projection: CIGAR walk -> variant calls -> allele matrix.
+//
+// The capability equivalent of the reference's per-window native pipeline
+// (impg query -> odgi build/sort/view -> povu gfa2vcf, run_tajd.sh:126-148,
+// and impg similarity, run_pica2_impg.sh:162-168): a window's variation is
+// derived once, directly from the PAF alignments, as per-haplotype variant
+// calls against the reference; the haplotype-by-site matrix then feeds every
+// TPU statistic (identity, pi, S, AFS) without further native calls.
+#include "extract.h"
+
+#include <algorithm>
+#include <map>
+#include <set>
+#include <stdexcept>
+
+namespace impop {
+
+namespace {
+
+char comp(char c) {
+  switch (c) {
+    case 'A': return 'T';
+    case 'C': return 'G';
+    case 'G': return 'C';
+    case 'T': return 'A';
+    case 'a': return 't';
+    case 'c': return 'g';
+    case 'g': return 'c';
+    case 't': return 'a';
+    default: return 'N';
+  }
+}
+
+std::string revcomp(const std::string& s) {
+  std::string out(s.rbegin(), s.rend());
+  for (char& c : out) c = comp(c);
+  return out;
+}
+
+struct Variant {
+  int64_t pos;       // target position (0-based)
+  std::string ref;   // reference allele ("" for pure insertion)
+  std::string alt;   // alternate allele ("" for pure deletion)
+  bool operator<(const Variant& o) const {
+    if (pos != o.pos) return pos < o.pos;
+    if (ref != o.ref) return ref < o.ref;
+    return alt < o.alt;
+  }
+};
+
+struct HapState {
+  int64_t cover_start = INT64_MAX;
+  int64_t cover_end = INT64_MIN;
+  std::set<Variant> variants;
+};
+
+}  // namespace
+
+Extractor::Extractor(const std::string& paf_path, const std::string& fasta_path)
+    : paf_(paf_path), fasta_(fasta_path) {}
+
+WindowMatrix Extractor::extract(const std::string& target, int64_t start,
+                                int64_t end) const {
+  if (end <= start) {
+    throw std::runtime_error("empty window");
+  }
+  const std::string tseq =
+      fasta_.has(target) ? fasta_.fetch(target, start, end) : std::string();
+  auto target_base = [&](int64_t pos) -> char {
+    int64_t off = pos - start;
+    if (off < 0 || off >= static_cast<int64_t>(tseq.size())) return 'N';
+    return static_cast<char>(std::toupper(tseq[static_cast<size_t>(off)]));
+  };
+
+  std::map<std::string, HapState> haps;
+
+  for (const PafRecord* rec : paf_.overlapping(target, start, end)) {
+    if (rec->cigar.empty()) continue;  // need cg:Z for projection
+
+    // Query sequence in alignment orientation (walked forward alongside
+    // the target). Missing query sequences degrade M ops to "no variant"
+    // and X alts to 'N'.
+    std::string qseq;
+    bool have_q = fasta_.has(rec->query_name);
+    if (have_q) {
+      qseq = fasta_.fetch(rec->query_name, rec->query_start, rec->query_end);
+      if (rec->reverse) qseq = revcomp(qseq);
+    }
+    auto query_base = [&](int64_t qi) -> char {
+      if (!have_q || qi < 0 || qi >= static_cast<int64_t>(qseq.size()))
+        return 'N';
+      return static_cast<char>(std::toupper(qseq[static_cast<size_t>(qi)]));
+    };
+
+    // Row identity mirrors impg's "contig:qstart-qend" naming
+    // (h-fst.py:24-26 shows the consumed form).
+    std::string row_name = rec->query_name + ":" +
+                           std::to_string(rec->query_start) + "-" +
+                           std::to_string(rec->query_end);
+    HapState& hap = haps[row_name];
+
+    int64_t tpos = rec->target_start;
+    int64_t qi = 0;
+    hap.cover_start = std::min(hap.cover_start, std::max(start, tpos));
+
+    for (const CigarOp& op : rec->cigar) {
+      if (tpos >= end && op.op != 'I') break;
+      switch (op.op) {
+        case '=':
+          tpos += op.len;
+          qi += op.len;
+          break;
+        case 'M': {
+          // resolve match-or-mismatch against the sequences
+          for (int64_t k = 0; k < op.len; ++k) {
+            int64_t p = tpos + k;
+            if (p >= start && p < end && have_q) {
+              char tb = target_base(p);
+              char qb = query_base(qi + k);
+              if (tb != qb && tb != 'N' && qb != 'N') {
+                hap.variants.insert({p, std::string(1, tb),
+                                     std::string(1, qb)});
+              }
+            }
+          }
+          tpos += op.len;
+          qi += op.len;
+          break;
+        }
+        case 'X': {
+          for (int64_t k = 0; k < op.len; ++k) {
+            int64_t p = tpos + k;
+            if (p >= start && p < end) {
+              char tb = target_base(p);
+              char qb = query_base(qi + k);
+              hap.variants.insert({p, std::string(1, tb),
+                                   std::string(1, qb)});
+            }
+          }
+          tpos += op.len;
+          qi += op.len;
+          break;
+        }
+        case 'I': {
+          if (tpos > start && tpos <= end) {
+            std::string alt;
+            if (have_q) {
+              alt = qseq.substr(static_cast<size_t>(qi),
+                                static_cast<size_t>(op.len));
+              for (char& c : alt) c = std::toupper(c);
+            } else {
+              alt = "<INS" + std::to_string(op.len) + ">";
+            }
+            hap.variants.insert({tpos, "", alt});
+          }
+          qi += op.len;
+          break;
+        }
+        case 'D':
+        case 'N': {
+          int64_t del_start = std::max(tpos, start);
+          int64_t del_end = std::min(tpos + op.len, end);
+          if (op.op == 'D' && del_start < del_end) {
+            std::string ref;
+            for (int64_t p = del_start; p < del_end; ++p)
+              ref += target_base(p);
+            hap.variants.insert({del_start, ref, ""});
+          }
+          tpos += op.len;
+          break;
+        }
+        case 'S':
+          qi += op.len;
+          break;
+        case 'H':
+          break;
+        default:
+          // unknown op: assume it consumes both (safest for M-like ops)
+          tpos += op.len;
+          qi += op.len;
+          break;
+      }
+    }
+    hap.cover_end = std::max(hap.cover_end, std::min(end, tpos));
+  }
+
+  // Reference row: covers the whole window, no variants (impg similarity
+  // includes the reference sequence among the groups).
+  {
+    HapState& ref_row = haps[target + ":" + std::to_string(start) + "-" +
+                             std::to_string(end)];
+    ref_row.cover_start = start;
+    ref_row.cover_end = end;
+  }
+
+  // Union of variant keys -> site axis.
+  std::set<Variant> all_variants;
+  for (const auto& [_, hap] : haps) {
+    all_variants.insert(hap.variants.begin(), hap.variants.end());
+  }
+  std::map<Variant, int64_t> col_of;
+  WindowMatrix wm;
+  for (const Variant& v : all_variants) {
+    col_of[v] = static_cast<int64_t>(wm.site_keys.size());
+    wm.site_keys.push_back(std::to_string(v.pos) + ":" + v.ref + ">" + v.alt);
+    wm.site_pos.push_back(v.pos);
+  }
+  wm.s = static_cast<int64_t>(wm.site_keys.size());
+  wm.n = static_cast<int64_t>(haps.size());
+  wm.geno.assign(static_cast<size_t>(wm.n * std::max<int64_t>(wm.s, 1)), -1);
+
+  int64_t row = 0;
+  for (const auto& [name, hap] : haps) {  // std::map: sorted row names
+    wm.names.push_back(name);
+    for (int64_t c = 0; c < wm.s; ++c) {
+      int64_t pos = wm.site_pos[static_cast<size_t>(c)];
+      int8_t val = -1;
+      if (pos >= hap.cover_start && pos < hap.cover_end) val = 0;
+      wm.geno[static_cast<size_t>(row * wm.s + c)] = val;
+    }
+    for (const Variant& v : hap.variants) {
+      wm.geno[static_cast<size_t>(row * wm.s + col_of[v])] = 1;
+    }
+    ++row;
+  }
+  return wm;
+}
+
+}  // namespace impop

@@ -117,15 +117,87 @@ class ImpgSimSource(SimSource):
                                    self.round_digits)
 
 
+class GenoSimSource(SimSource):
+    """Identity matrices derived from allele tiles (.npz windows or live
+    native extraction from PAF+FASTA) — the impg-free path."""
+
+    def __init__(self, round_digits: Optional[int],
+                 geno_dir: Optional[str] = None,
+                 paf: Optional[str] = None, fasta: Optional[str] = None,
+                 use_native: bool = True):
+        self.round_digits = round_digits
+        self.geno_src = GenoSource(geno_dir) if geno_dir else None
+        self.extractor = None
+        if paf and fasta:
+            self.extractor = _open_extractor(paf, fasta, use_native)
+
+    def load(self, region: str) -> SimilarityMatrix:
+        from impop_tpu.io.bed import parse_region
+        from impop_tpu.io.simtsv import SimilarityMatrix, round_half_even
+
+        reg = parse_region(region)
+        if self.geno_src is not None:
+            geno, names = self.geno_src.load(region)
+        elif self.extractor is not None:
+            wm = self.extractor.extract(reg.chrom, reg.start, reg.end)
+            geno, names = wm.geno, wm.names
+        else:
+            raise WindowError(f"no allele source for region {region}")
+        order = np.argsort(names)
+        geno = np.asarray(geno, dtype=np.int16)[order]
+        names = [names[i] for i in order]
+        n = len(names)
+        length = max(reg.length, 1)
+        valid = geno >= 0
+        g = np.where(valid, geno, 0)
+        # pairwise difference over mutually-valid sites: compared - matches,
+        # matches as one-hot gram matrices (host-side numpy; windows are small)
+        compared = valid.astype(np.float64) @ valid.T
+        match = np.zeros((n, n))
+        for a in range(int(g.max(initial=0)) + 1):
+            xa = ((g == a) & valid).astype(np.float64)
+            match += xa @ xa.T
+        diff = compared - match
+        sim = 1.0 - diff / length
+        present = compared > 0
+        np.fill_diagonal(present, True)
+        sim = np.where(present, sim, 0.0)
+        np.fill_diagonal(sim, 1.0)
+        if self.round_digits is not None:
+            sim = round_half_even(sim, self.round_digits)
+        return SimilarityMatrix(names=names, sim=sim, present=present,
+                                pair_count=n * (n - 1) // 2)
+
+
+def _open_extractor(paf: str, fasta: str, use_native: bool = True):
+    if use_native:
+        try:
+            from impop_tpu.extract import NativeExtractor
+
+            return NativeExtractor(paf, fasta)
+        except Exception as e:  # no toolchain / build failure
+            _warn(f"Warning: native extractor unavailable ({e}); "
+                  "using Python fallback")
+    from impop_tpu.extract.pyfallback import PyExtractor
+
+    return PyExtractor(paf, fasta)
+
+
 def _make_sim_source(args) -> SimSource:
     if getattr(args, "sim_dir", None):
         return DirSimSource(args.sim_dir, args.round)
-    if getattr(args, "paf", None) and getattr(args, "agc", None):
-        return ImpgSimSource(args.paf, args.agc, args.round,
-                             getattr(args, "subset", None))
+    if getattr(args, "geno_dir", None):
+        return GenoSimSource(args.round, geno_dir=args.geno_dir)
+    if getattr(args, "paf", None):
+        if getattr(args, "fasta", None):
+            return GenoSimSource(args.round, paf=args.paf, fasta=args.fasta)
+        if getattr(args, "agc", None):
+            return ImpgSimSource(args.paf, args.agc, args.round,
+                                 getattr(args, "subset", None))
     raise SystemExit(
-        "error: provide --sim-dir (per-window TSVs) or --paf + --agc "
-        "(live impg extraction)"
+        "error: provide --sim-dir (per-window TSVs), --geno-dir (allele "
+        "tiles), --paf + --fasta (native extraction), or --paf + --agc "
+        "(external impg)"
     )
 
 
@@ -488,6 +560,40 @@ def cmd_panels_tajd(args) -> int:
     return 0
 
 
+# --------------------------------------------------------------- extract
+
+
+def cmd_extract(args) -> int:
+    """PAF + FASTA → per-window allele tiles (.npz), the native replacement
+    for the reference's per-window impg/odgi/povu invocations."""
+    regions = read_bed(args.bed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    extractor = _open_extractor(args.paf, args.fasta,
+                                use_native=not args.python)
+    n_ok = n_err = 0
+    for reg in regions:
+        rs = reg.region_string(args.prefix)
+        try:
+            wm = extractor.extract(
+                rs.rsplit(":", 1)[0], reg.start, reg.end
+            )
+        except Exception as e:
+            _warn(f"Warning: extraction failed for {rs}: {e}")
+            n_err += 1
+            continue
+        out = os.path.join(args.out_dir, f"{_sanitize(rs)}.npz")
+        np.savez_compressed(
+            out,
+            geno=wm.geno,
+            names=np.asarray(wm.names),
+            site_pos=np.asarray(wm.site_pos),
+            site_keys=np.asarray(wm.site_keys),
+        )
+        n_ok += 1
+    _warn(f"extracted {n_ok} windows ({n_err} failed) -> {args.out_dir}")
+    return 0 if n_ok or not n_err else 1
+
+
 # --------------------------------------------------------------- utilities
 
 
@@ -519,8 +625,12 @@ def cmd_plot(args) -> int:
 
 def _add_sim_args(p):
     p.add_argument("--sim-dir", help="directory of per-window similarity TSVs")
-    p.add_argument("--paf", help="PAF file for live impg extraction")
-    p.add_argument("--agc", help="AGC archive for live impg extraction")
+    p.add_argument("--geno-dir", help="directory of per-window allele tiles "
+                                      "(.npz) to derive identities from")
+    p.add_argument("--paf", help="PAF alignment file")
+    p.add_argument("--fasta", help="FASTA sequence store "
+                                   "(native extraction with --paf)")
+    p.add_argument("--agc", help="AGC archive (external impg with --paf)")
 
 
 def _add_common(p):
@@ -590,6 +700,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metadata-dir", required=True)
     p.add_argument("-l", "--length", type=int)
     p.set_defaults(func=cmd_panels_tajd)
+
+    p = sub.add_parser("extract",
+                       help="PAF+FASTA -> per-window allele tiles (.npz)")
+    p.add_argument("-b", "--bed", required=True)
+    p.add_argument("--paf", required=True)
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("-P", "--prefix", default="CHM13#0#")
+    p.add_argument("--python", action="store_true",
+                   help="force the Python fallback extractor")
+    p.set_defaults(func=cmd_extract)
 
     p = sub.add_parser("makewindows", help="fixed-width windows from a region")
     p.add_argument("--bed", help="BED of base intervals")

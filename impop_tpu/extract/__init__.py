@@ -1,0 +1,135 @@
+"""Python interface to the native extraction layer.
+
+The C++ library (cpp/) replaces the capabilities the reference consumes from
+impg / odgi / povu (SURVEY.md §2.2): PAF+CIGAR window projection over a FASTA
+sequence store, producing the haplotype-by-site allele matrices that feed the
+TPU statistics.  Binding is ctypes over a plain C ABI (pybind11 is not in
+this environment).
+
+The library is built on demand with ``make -C cpp`` on first use.  A pure
+Python fallback (:mod:`impop_tpu.extract.pyfallback`) implements the same
+projection for environments without a compiler, and serves as the oracle for
+the C++ tests.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+__all__ = ["WindowMatrix", "NativeExtractor", "load_library", "library_path"]
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CPP_DIR = os.path.join(_REPO_ROOT, "cpp")
+_LIB_NAME = "libimpop_extract.so"
+
+
+class WindowMatrix(NamedTuple):
+    names: List[str]       # sorted haplotype row names ("contig:qs-qe")
+    site_keys: List[str]   # "pos:ref>alt" per column
+    site_pos: np.ndarray   # [s] int64 target positions
+    geno: np.ndarray       # [n, s] int8; 1 alt, 0 ref, -1 uncovered
+
+
+def library_path() -> str:
+    return os.path.join(_CPP_DIR, _LIB_NAME)
+
+
+def _build_library() -> None:
+    subprocess.run(["make", "-C", _CPP_DIR, "-s"], check=True,
+                   capture_output=True, text=True)
+
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def load_library(rebuild: bool = False) -> ctypes.CDLL:
+    global _lib
+    if _lib is not None and not rebuild:
+        return _lib
+    path = library_path()
+    if rebuild or not os.path.exists(path):
+        _build_library()
+    lib = ctypes.CDLL(path)
+    lib.ix_open.restype = ctypes.c_void_p
+    lib.ix_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.ix_error.restype = ctypes.c_char_p
+    lib.ix_error.argtypes = [ctypes.c_void_p]
+    lib.ix_close.argtypes = [ctypes.c_void_p]
+    lib.ix_extract.restype = ctypes.c_void_p
+    lib.ix_extract.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_longlong),
+    ]
+    lib.ix_copy_geno.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_byte)]
+    lib.ix_name.restype = ctypes.c_char_p
+    lib.ix_name.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    lib.ix_site_key.restype = ctypes.c_char_p
+    lib.ix_site_key.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    lib.ix_site_pos.restype = ctypes.c_longlong
+    lib.ix_site_pos.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    lib.ix_result_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class NativeExtractor:
+    """PAF + FASTA → per-window allele matrices (C++ fast path)."""
+
+    def __init__(self, paf_path: str, fasta_path: str):
+        self._lib = load_library()
+        self._handle = self._lib.ix_open(
+            paf_path.encode(), fasta_path.encode()
+        )
+        err = self._lib.ix_error(self._handle)
+        if err:
+            msg = err.decode()
+            self._lib.ix_close(self._handle)
+            self._handle = None
+            raise RuntimeError(f"extractor open failed: {msg}")
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.ix_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def extract(self, target: str, start: int, end: int) -> WindowMatrix:
+        n = ctypes.c_longlong()
+        s = ctypes.c_longlong()
+        res = self._lib.ix_extract(
+            self._handle, target.encode(), start, end,
+            ctypes.byref(n), ctypes.byref(s),
+        )
+        if not res:
+            err = self._lib.ix_error(self._handle)
+            raise RuntimeError(
+                f"extract failed for {target}:{start}-{end}: "
+                f"{err.decode() if err else 'unknown'}"
+            )
+        try:
+            n_v, s_v = n.value, s.value
+            geno = np.full((n_v, max(s_v, 1)), -1, dtype=np.int8)
+            if n_v:
+                buf = geno.ctypes.data_as(ctypes.POINTER(ctypes.c_byte))
+                self._lib.ix_copy_geno(res, buf)
+            geno = geno[:, :s_v] if s_v else geno[:, :0]
+            names = [self._lib.ix_name(res, i).decode() for i in range(n_v)]
+            site_keys = [self._lib.ix_site_key(res, c).decode()
+                         for c in range(s_v)]
+            site_pos = np.asarray(
+                [self._lib.ix_site_pos(res, c) for c in range(s_v)],
+                dtype=np.int64,
+            )
+            return WindowMatrix(names, site_keys, site_pos, geno)
+        finally:
+            self._lib.ix_result_free(res)

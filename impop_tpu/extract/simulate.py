@@ -1,0 +1,156 @@
+"""Synthetic pangenome generator — test/bench data for the extraction layer.
+
+Plants known SNPs/indels into haplotype copies of a random reference, writes
+the FASTA + PAF(+CIGAR) pair the extractor consumes, and returns the ground
+truth for assertions.  Serves the role of the reference's executable fixture
+(example_fst_methods.py) one layer lower in the stack.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_BASES = np.array(list("ACGT"))
+_COMP = str.maketrans("ACGT", "TGCA")
+
+
+@dataclasses.dataclass
+class SimHaplotype:
+    name: str
+    target_start: int            # aligned span on the reference
+    target_end: int
+    reverse: bool
+    snps: Dict[int, str]         # target pos -> alt base
+    insertions: Dict[int, str]   # target pos (before which) -> inserted seq
+    deletions: Dict[int, int]    # target pos -> deleted length
+
+
+@dataclasses.dataclass
+class SimPangenome:
+    ref_name: str
+    ref_seq: str
+    haplotypes: List[SimHaplotype]
+    fasta_path: str
+    paf_path: str
+
+
+def _revcomp(seq: str) -> str:
+    return seq.translate(_COMP)[::-1]
+
+
+def simulate(
+    out_dir: str,
+    ref_len: int = 2000,
+    n_haps: int = 6,
+    n_snps: int = 5,
+    p_indel: float = 0.5,
+    ref_name: str = "CHM13#0#chr1",
+    seed: int = 0,
+    span: Optional[Tuple[int, int]] = None,
+) -> SimPangenome:
+    import os
+
+    rng = np.random.default_rng(seed)
+    ref_seq = "".join(rng.choice(_BASES, size=ref_len))
+    haps: List[SimHaplotype] = []
+    fasta_records: List[Tuple[str, str]] = [(ref_name, ref_seq)]
+    paf_lines: List[str] = []
+
+    for hi in range(n_haps):
+        sample = f"HG{900 + hi // 2:05d}"
+        hap_no = hi % 2 + 1
+        name = f"{sample}#{hap_no}#ctg{hi}"
+        if span is None:
+            a0 = int(rng.integers(0, max(1, ref_len // 10)))
+            a1 = int(rng.integers(ref_len - ref_len // 10, ref_len + 1))
+        else:
+            a0, a1 = span
+        reverse = bool(rng.random() < 0.4)
+
+        positions = sorted(
+            rng.choice(np.arange(a0 + 2, a1 - 2), size=n_snps, replace=False)
+        )
+        snps: Dict[int, str] = {}
+        insertions: Dict[int, str] = {}
+        deletions: Dict[int, int] = {}
+        used: set = set()
+        for pos in positions:
+            pos = int(pos)
+            kind = rng.random()
+            if kind < p_indel / 2 and pos not in used:
+                ins = "".join(rng.choice(_BASES, size=int(rng.integers(1, 4))))
+                insertions[pos] = ins
+                used.add(pos)
+            elif kind < p_indel and pos + 3 < a1 and not any(
+                p in used for p in range(pos, pos + 3)
+            ):
+                dlen = int(rng.integers(1, 3))
+                deletions[pos] = dlen
+                used.update(range(pos, pos + dlen))
+            elif pos not in used:
+                ref_base = ref_seq[pos]
+                alt = str(rng.choice([b for b in "ACGT" if b != ref_base]))
+                snps[pos] = alt
+                used.add(pos)
+
+        # build the haplotype sequence + CIGAR by walking the ref span
+        seq_parts: List[str] = []
+        cigar_parts: List[str] = []
+        run_eq = 0
+
+        def flush_eq():
+            nonlocal run_eq
+            if run_eq:
+                cigar_parts.append(f"{run_eq}=")
+                run_eq = 0
+
+        pos = a0
+        while pos < a1:
+            if pos in insertions:
+                flush_eq()
+                ins = insertions[pos]
+                seq_parts.append(ins)
+                cigar_parts.append(f"{len(ins)}I")
+            if pos in deletions:
+                flush_eq()
+                dlen = min(deletions[pos], a1 - pos)
+                cigar_parts.append(f"{dlen}D")
+                pos += dlen
+                continue
+            if pos in snps:
+                flush_eq()
+                seq_parts.append(snps[pos])
+                cigar_parts.append("1X")
+            else:
+                seq_parts.append(ref_seq[pos])
+                run_eq += 1
+            pos += 1
+        flush_eq()
+
+        hap_seq = "".join(seq_parts)
+        qlen = len(hap_seq)
+        stored = _revcomp(hap_seq) if reverse else hap_seq
+        fasta_records.append((name, stored))
+        cigar = "".join(cigar_parts)
+        strand = "-" if reverse else "+"
+        # query interval covers the whole stored contig
+        paf_lines.append(
+            f"{name}\t{qlen}\t0\t{qlen}\t{strand}\t{ref_name}\t{ref_len}\t"
+            f"{a0}\t{a1}\t{qlen}\t{qlen}\t60\tcg:Z:{cigar}"
+        )
+        haps.append(SimHaplotype(name, a0, a1, reverse, snps, insertions,
+                                 deletions))
+
+    os.makedirs(out_dir, exist_ok=True)
+    fasta_path = os.path.join(out_dir, "pan.fa")
+    with open(fasta_path, "w") as fh:
+        for name, seq in fasta_records:
+            fh.write(f">{name}\n")
+            for i in range(0, len(seq), 60):
+                fh.write(seq[i:i + 60] + "\n")
+    paf_path = os.path.join(out_dir, "aln.paf")
+    with open(paf_path, "w") as fh:
+        fh.write("\n".join(paf_lines) + "\n")
+    return SimPangenome(ref_name, ref_seq, haps, fasta_path, paf_path)

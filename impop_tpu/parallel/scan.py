@@ -155,22 +155,26 @@ def batch_fst_3pi_panels(
     """
     t = jnp.asarray(threshold, dtype=jnp.float32)
 
-    def one_pair(sim1, present1, member1, panels1, ia, ib):
-        mask_a = panels1[ia] & member1
-        mask_b = panels1[ib] & member1
-        union = mask_a | mask_b
-        pi_a = pi_grouped(sim1, present1, mask_a, t).pi
-        pi_b = pi_grouped(sim1, present1, mask_b, t).pi
-        pi_c = pi_grouped(sim1, present1, union, t).pi
-        pi_ab = 0.5 * (pi_a + pi_b)
-        fst = jnp.where(pi_c != 0, (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0),
-                        jnp.nan)
-        return Fst3PiBatchResult(pi_a, pi_b, pi_c, pi_ab, fst)
-
     def one_window(sim1, present1, member1, panels1):
-        return jax.vmap(one_pair, in_axes=(None, None, None, None, 0, 0))(
-            sim1, present1, member1, panels1, pair_a, pair_b
+        # each panel's π is computed ONCE and shared across every pair it
+        # appears in (the reference recomputes it per pair — 3 impg+pica2
+        # invocations per window per pair, run_fst_impg.sh:184-197)
+        pi_panel = jax.vmap(
+            lambda pmask: pi_grouped(sim1, present1, pmask & member1, t).pi
+        )(panels1)
+
+        def union_pi(ia, ib):
+            union = (panels1[ia] | panels1[ib]) & member1
+            return pi_grouped(sim1, present1, union, t).pi
+
+        pi_c = jax.vmap(union_pi)(pair_a, pair_b)
+        pi_a = pi_panel[pair_a]
+        pi_b = pi_panel[pair_b]
+        pi_ab = 0.5 * (pi_a + pi_b)
+        fst = jnp.where(
+            pi_c != 0, (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0), jnp.nan
         )
+        return Fst3PiBatchResult(pi_a, pi_b, pi_c, pi_ab, fst)
 
     return jax.vmap(one_window)(sim, present, member, panels)
 

@@ -78,6 +78,18 @@ def greedy_group(
     order = jnp.arange(n_cap, dtype=jnp.int32)
     # elink[j, i]: j < i and linked — the "earlier neighbour" relation
     elink = link & (order[:, None] < order[None, :])
+    # the peeling rounds only need "∃ earlier neighbour j with flag[j]",
+    # which is a mask-vector product — express it as an MXU matvec instead
+    # of an [N, N] elementwise AND + reduction per round
+    elink_f = elink.astype(jnp.bfloat16)
+
+    def any_earlier(flag):
+        hits = jax.lax.dot_general(
+            flag.astype(jnp.bfloat16), elink_f,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return hits > 0.5
 
     def cond(state):
         decided, _ = state
@@ -85,9 +97,9 @@ def greedy_group(
 
     def body(state):
         decided, seed = state
-        blocked = jnp.any(elink & ~decided[:, None], axis=0)
+        blocked = any_earlier(~decided)
         frontier = member & ~decided & ~blocked
-        absorbed = jnp.any(elink & (decided & seed)[:, None], axis=0)
+        absorbed = any_earlier(decided & seed)
         new_seed = frontier & ~absorbed
         return decided | frontier, seed | new_seed
 

@@ -1,0 +1,163 @@
+"""Extraction layer: C++ path vs Python fallback vs planted ground truth."""
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from impop_tpu.extract.pyfallback import PyExtractor
+from impop_tpu.extract.simulate import simulate
+
+HAVE_TOOLCHAIN = shutil.which("make") and shutil.which("g++")
+
+
+def _native(tmp_path):
+    from impop_tpu.extract import NativeExtractor
+
+    return NativeExtractor
+
+
+def _planted_truth(sim, start, end):
+    """Expected variant keys within [start, end) per haplotype."""
+    out = {}
+    for hap in sim.haplotypes:
+        keys = set()
+        for pos, alt in hap.snps.items():
+            if start <= pos < end:
+                keys.add((pos, sim.ref_seq[pos], alt))
+        for pos, ins in hap.insertions.items():
+            if start < pos <= end:
+                keys.add((pos, "", ins))
+        for pos, dlen in hap.deletions.items():
+            d0, d1 = max(pos, start), min(pos + dlen, end)
+            if d0 < d1:
+                keys.add((d0, sim.ref_seq[d0:d1], ""))
+        out[hap.name] = keys
+    return out
+
+
+def test_python_extractor_recovers_planted_variants(tmp_path, rng):
+    sim = simulate(str(tmp_path), ref_len=1500, n_haps=8, n_snps=6, seed=3)
+    ex = PyExtractor(sim.paf_path, sim.fasta_path)
+    start, end = 100, 1400
+    wm = ex.extract(sim.ref_name, start, end)
+    truth = _planted_truth(sim, start, end)
+
+    key_of_col = {}
+    for c, key in enumerate(wm.site_keys):
+        pos_s, rest = key.split(":", 1)
+        ref, alt = rest.split(">", 1)
+        key_of_col[c] = (int(pos_s), ref, alt)
+
+    for row, name in enumerate(wm.names):
+        contig = name.split(":", 1)[0]
+        if contig == sim.ref_name.split(":", 1)[0] or name.startswith(sim.ref_name):
+            assert not (wm.geno[row] == 1).any()  # reference row: no variants
+            continue
+        hap_truth = truth[contig]
+        called = {key_of_col[c] for c in np.nonzero(wm.geno[row] == 1)[0]}
+        # restrict truth to the hap's covered span
+        hap = next(h for h in sim.haplotypes if h.name == contig)
+        expect = {k for k in hap_truth
+                  if hap.target_start <= k[0] < hap.target_end}
+        assert called == expect, (name, called ^ expect)
+
+
+@pytest.mark.skipif(not HAVE_TOOLCHAIN, reason="no C++ toolchain")
+def test_cpp_matches_python(tmp_path):
+    from impop_tpu.extract import NativeExtractor
+
+    for seed in (0, 7):
+        d = tmp_path / f"s{seed}"
+        sim = simulate(str(d), ref_len=2400, n_haps=10, n_snps=8, seed=seed)
+        py = PyExtractor(sim.paf_path, sim.fasta_path)
+        with NativeExtractor(sim.paf_path, sim.fasta_path) as cc:
+            for (start, end) in ((0, 2400), (351, 1777), (1200, 1300)):
+                a = py.extract(sim.ref_name, start, end)
+                b = cc.extract(sim.ref_name, start, end)
+                assert a.names == b.names, (start, end)
+                assert a.site_keys == b.site_keys, (start, end)
+                np.testing.assert_array_equal(a.geno, b.geno)
+
+
+@pytest.mark.skipif(not HAVE_TOOLCHAIN, reason="no C++ toolchain")
+def test_cpp_gzip_paf(tmp_path):
+    import gzip
+
+    from impop_tpu.extract import NativeExtractor
+
+    sim = simulate(str(tmp_path), ref_len=900, n_haps=4, n_snps=4, seed=11)
+    gz = sim.paf_path + ".gz"
+    with open(sim.paf_path, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    py = PyExtractor(sim.paf_path, sim.fasta_path)
+    with NativeExtractor(gz, sim.fasta_path) as cc:
+        a = py.extract(sim.ref_name, 50, 850)
+        b = cc.extract(sim.ref_name, 50, 850)
+        assert a.names == b.names
+        np.testing.assert_array_equal(a.geno, b.geno)
+
+
+def test_extract_to_stats_end_to_end(tmp_path):
+    """Planted SNPs flow through extraction into the TPU S/pi statistics."""
+    import jax
+
+    from impop_tpu.stats.allele import segregating_sites
+
+    # all haplotypes span the full reference: S == number of distinct planted
+    # variant keys that are polymorphic (every non-ref haplotype row exists)
+    sim = simulate(str(tmp_path), ref_len=1000, n_haps=6, n_snps=5,
+                   p_indel=0.0, seed=5, span=(0, 1000))
+    ex = PyExtractor(sim.paf_path, sim.fasta_path)
+    wm = ex.extract(sim.ref_name, 0, 1000)
+    n, s = wm.geno.shape
+    cap_n, cap_s = 16, max(8, s)
+    geno = np.full((cap_n, cap_s), -1, dtype=np.int8)
+    geno[:n, :s] = wm.geno
+    member = np.zeros(cap_n, bool); member[:n] = True
+    site_mask = np.zeros(cap_s, bool); site_mask[:s] = True
+    s_count = int(jax.jit(segregating_sites)(geno, member, site_mask))
+    distinct = {k for h in sim.haplotypes
+                for k in _planted_truth(sim, 0, 1000)[h.name]}
+    assert s_count == len(distinct) == s
+
+
+def test_missing_window_region(tmp_path):
+    sim = simulate(str(tmp_path), ref_len=600, n_haps=3, n_snps=3, seed=9)
+    ex = PyExtractor(sim.paf_path, sim.fasta_path)
+    wm = ex.extract("CHM13#0#chrNOPE", 0, 100)
+    # only the reference placeholder row, no sites
+    assert wm.geno.shape[1] == 0
+    assert len(wm.names) == 1
+
+
+def test_extract_cli_to_tajd_and_pi(tmp_path):
+    """simulate -> `extract` CLI -> `tajd` + `pi --geno-dir` CLIs."""
+    from impop_tpu.cli import main
+
+    sim = simulate(str(tmp_path), ref_len=3000, n_haps=10, n_snps=8, seed=1,
+                   span=(0, 3000))
+    bed = tmp_path / "w.bed"
+    bed.write_text("chr1\t0\t1500\nchr1\t1500\t3000\n")
+    tiles = tmp_path / "tiles"
+    main(["extract", "-b", str(bed), "--paf", sim.paf_path,
+          "--fasta", sim.fasta_path, "--out-dir", str(tiles),
+          "-P", "CHM13#0#", "--python"])
+    assert len(list(tiles.glob("*.npz"))) == 2
+
+    out = tmp_path / "tajd.tsv"
+    main(["tajd", "-b", str(bed), "--geno-dir", str(tiles),
+          "-P", "CHM13#0#", "-o", str(out)])
+    lines = [l for l in out.read_text().splitlines() if l]
+    assert len(lines) == 3
+    f1 = lines[1].split("\t")
+    assert f1[2] == "11"          # 10 haplotypes + reference row
+    assert int(f1[3]) > 0         # segregating sites found
+
+    out2 = tmp_path / "pi.tsv"
+    main(["pi", "-b", str(bed), "--geno-dir", str(tiles), "-P", "CHM13#0#",
+          "-t", "0.999", "-r", "5", "-o", str(out2)])
+    lines2 = [l for l in out2.read_text().splitlines() if l]
+    assert len(lines2) == 3
+    assert not lines2[1].split("\t")[4].startswith("0.00000000")
