@@ -72,8 +72,8 @@ def device_pipeline():
     import jax.numpy as jnp
 
     from impop_tpu.stats.allele import identity_from_alleles, segregating_sites
-    from impop_tpu.stats.fst import hudson_fst_direct
-    from impop_tpu.stats.pi import pi_grouped
+    from impop_tpu.stats.fst import hudson_fst_direct_pairs
+    from impop_tpu.stats.pi import pi_grouped, pi_grouped_panels
     from impop_tpu.stats.tajima import tajimas_d
 
     pair_a = jnp.asarray(
@@ -88,22 +88,23 @@ def device_pipeline():
         sim, present = identity_from_alleles(g, m, smask, length)
         s_count = segregating_sites(g, m, smask)
 
-        def one_panel(pmask):
-            res = pi_grouped(sim, present, m & pmask, t)
-            d = tajimas_d(res.n, s_count.astype(jnp.float32), res.pi / length)
-            return res.pi, d
+        # all 5 panel π + 10 pair-union π through the shared-matrix panels
+        # kernel in ONE grouping pass (the reference runs 35 impg+pica2
+        # process pairs for the same work)
+        unions = panels1[pair_a] | panels1[pair_b]
+        all_masks = jnp.concatenate([panels1, unions], axis=0)
+        res = pi_grouped_panels(sim, present, m, all_masks, t)
+        p_count = panels1.shape[0]
+        pi_panel = res.pi[:p_count]
+        pi_c = res.pi[p_count:]
+        d = tajimas_d(
+            res.n[:p_count], s_count.astype(jnp.float32), pi_panel / length
+        )
 
-        pi_panel, d = jax.vmap(one_panel)(panels1)
-
-        def one_pair(ia, ib):
-            mask_a = panels1[ia] & m
-            mask_b = panels1[ib] & m
-            hud = hudson_fst_direct(sim, present, mask_a, mask_b).fst
-            pi_c = pi_grouped(sim, present, mask_a | mask_b, t).pi
-            return hud, pi_c
-
-        hud, pi_c = jax.vmap(one_pair)(pair_a, pair_b)
-        # per-panel pi shared across pairs; union pi computed once per pair
+        hud = hudson_fst_direct_pairs(
+            sim, present, panels1[pair_a] & m[None, :],
+            panels1[pair_b] & m[None, :],
+        ).fst
         pi_ab = 0.5 * (pi_panel[pair_a] + pi_panel[pair_b])
         f3 = jnp.where(
             pi_c != 0, (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0), jnp.nan

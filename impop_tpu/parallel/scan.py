@@ -22,8 +22,8 @@ import numpy as np
 from impop_tpu.parallel.mesh import window_sharding
 from impop_tpu.stats.allele import AlleleWindowStats, allele_window_stats, identity_from_alleles, segregating_sites
 from impop_tpu.stats.diversity import direct_diversity
-from impop_tpu.stats.fst import FstResult, hudson_fst_direct, hudson_fst_grouped
-from impop_tpu.stats.pi import PiResult, grouped_diversity, pi_grouped
+from impop_tpu.stats.fst import FstResult, hudson_fst_direct, hudson_fst_direct_pairs, hudson_fst_grouped
+from impop_tpu.stats.pi import PiResult, grouped_diversity, pi_grouped, pi_grouped_panels
 from impop_tpu.stats.tajima import tajimas_d
 
 __all__ = [
@@ -75,16 +75,8 @@ def batch_pi_panels(
     π = 0 with n = 0 (the caller maps that to the reference's skip/NA row).
     """
 
-    def one_panel(sim1, present1, member1, panel_mask, t):
-        return pi_grouped(sim1, present1, member1 & panel_mask, t)
-
-    def one_window(sim1, present1, member1, panels1, t):
-        return jax.vmap(one_panel, in_axes=(None, None, None, 0, None))(
-            sim1, present1, member1, panels1, t
-        )
-
     t = jnp.asarray(threshold, dtype=jnp.float32)
-    return jax.vmap(one_window, in_axes=(0, 0, 0, 0, None))(
+    return jax.vmap(pi_grouped_panels, in_axes=(0, 0, 0, 0, None))(
         sim, present, member, panels, t
     )
 
@@ -111,23 +103,20 @@ def batch_hudson(
     """
     t = jnp.asarray(threshold, dtype=jnp.float32)
 
-    def one_pair(sim1, present1, member1, panels1, ia, ib):
-        mask_a = panels1[ia] & member1
-        mask_b = panels1[ib] & member1
+    def one_window(sim1, present1, member1, panels1):
+        mask_a = panels1[pair_a] & member1[None, :]
+        mask_b = panels1[pair_b] & member1[None, :]
         overlap = mask_a & mask_b
         mask_a = mask_a & ~overlap
         mask_b = mask_b & ~overlap
-        direct = hudson_fst_direct(sim1, present1, mask_a, mask_b)
+        direct = hudson_fst_direct_pairs(sim1, present1, mask_a, mask_b)
         if with_grouped:
-            grouped = hudson_fst_grouped(sim1, present1, mask_a, mask_b, t)
+            grouped = jax.vmap(
+                lambda ma, mb: hudson_fst_grouped(sim1, present1, ma, mb, t)
+            )(mask_a, mask_b)
         else:
             grouped = direct
         return HudsonBatchResult(direct, grouped)
-
-    def one_window(sim1, present1, member1, panels1):
-        return jax.vmap(one_pair, in_axes=(None, None, None, None, 0, 0))(
-            sim1, present1, member1, panels1, pair_a, pair_b
-        )
 
     return jax.vmap(one_window)(sim, present, member, panels)
 
@@ -158,16 +147,15 @@ def batch_fst_3pi_panels(
     def one_window(sim1, present1, member1, panels1):
         # each panel's π is computed ONCE and shared across every pair it
         # appears in (the reference recomputes it per pair — 3 impg+pica2
-        # invocations per window per pair, run_fst_impg.sh:184-197)
-        pi_panel = jax.vmap(
-            lambda pmask: pi_grouped(sim1, present1, pmask & member1, t).pi
-        )(panels1)
-
-        def union_pi(ia, ib):
-            union = (panels1[ia] | panels1[ib]) & member1
-            return pi_grouped(sim1, present1, union, t).pi
-
-        pi_c = jax.vmap(union_pi)(pair_a, pair_b)
+        # invocations per window per pair, run_fst_impg.sh:184-197); the
+        # panel set and the Q pair-union masks go through the shared-matrix
+        # panels kernel in one batch
+        unions = panels1[pair_a] | panels1[pair_b]
+        all_masks = jnp.concatenate([panels1, unions], axis=0)
+        pis = pi_grouped_panels(sim1, present1, member1, all_masks, t).pi
+        p_count = panels1.shape[0]
+        pi_panel = pis[:p_count]
+        pi_c = pis[p_count:]
         pi_a = pi_panel[pair_a]
         pi_b = pi_panel[pair_b]
         pi_ab = 0.5 * (pi_a + pi_b)

@@ -16,13 +16,14 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from impop_tpu.stats.diversity import DiversityResult, direct_diversity
 from impop_tpu.stats.grouping import first_pair_winner, greedy_group, group_sizes
 from impop_tpu.stats.pi import grouped_diversity
 
-__all__ = ["FstResult", "hudson_fst_direct", "hudson_fst_grouped", "fst_3pi"]
+__all__ = ["FstResult", "hudson_fst_direct", "hudson_fst_direct_pairs", "hudson_fst_grouped", "fst_3pi"]
 
 
 class FstResult(NamedTuple):
@@ -59,6 +60,44 @@ def hudson_fst_direct(sim, present, mask_a, mask_b) -> FstResult:
     pi_a = direct_diversity(sim, present, mask_a).mean
     pi_b = direct_diversity(sim, present, mask_b).mean
     dxy = direct_diversity(sim, present, mask_a, mask_b).mean
+    return _assemble(pi_a, pi_b, dxy)
+
+
+def hudson_fst_direct_pairs(sim, present, masks_a, masks_b) -> FstResult:
+    """:func:`hudson_fst_direct` for Q (already overlap-stripped) pair masks
+    of one window at once: the 6 masked reductions per pair collapse into 4
+    stacked [Q, N] @ [N, N] matmuls, so the window's similarity matrix is
+    read once for all pairs (the reference forks one h-fst.py process per
+    pair per window, run_h_fst_panels.sh).  Fields are [Q]-shaped.
+    """
+    n_cap = sim.shape[0]
+    offdiag = ~jnp.eye(n_cap, dtype=bool)
+    pair_present = present & offdiag
+    div = jnp.where(pair_present, 1.0 - sim, 0.0)
+    presf = pair_present.astype(jnp.float32)
+
+    a = masks_a.astype(jnp.float32)
+    b = masks_b.astype(jnp.float32)
+
+    def mm(x, m):
+        return jax.lax.dot_general(
+            x, m, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    yd_a, yp_a = mm(a, div), mm(a, presf)
+    yd_b, yp_b = mm(b, div), mm(b, presf)
+
+    def rowdot(x, y):
+        return jnp.sum(x * y, axis=1)
+
+    sum_aa, cnt_aa = rowdot(yd_a, a) * 0.5, rowdot(yp_a, a) * 0.5
+    sum_bb, cnt_bb = rowdot(yd_b, b) * 0.5, rowdot(yp_b, b) * 0.5
+    sum_ab, cnt_ab = rowdot(yd_a, b), rowdot(yp_a, b)
+
+    pi_a = jnp.where(cnt_aa > 0, sum_aa / jnp.maximum(cnt_aa, 1.0), 0.0)
+    pi_b = jnp.where(cnt_bb > 0, sum_bb / jnp.maximum(cnt_bb, 1.0), 0.0)
+    dxy = jnp.where(cnt_ab > 0, sum_ab / jnp.maximum(cnt_ab, 1.0), 0.0)
     return _assemble(pi_a, pi_b, dxy)
 
 

@@ -81,11 +81,11 @@ def greedy_group(
     # the peeling rounds only need "∃ earlier neighbour j with flag[j]",
     # which is a mask-vector product — express it as an MXU matvec instead
     # of an [N, N] elementwise AND + reduction per round
-    elink_f = elink.astype(jnp.bfloat16)
+    elink_f = elink.astype(jnp.float32)
 
     def any_earlier(flag):
         hits = jax.lax.dot_general(
-            flag.astype(jnp.bfloat16), elink_f,
+            flag.astype(jnp.float32), elink_f,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -114,6 +114,100 @@ def greedy_group(
     ).astype(jnp.int32)
     gid = jnp.where(seed, order, min_seed)
     return jnp.where(member, gid, n_cap)
+
+
+def greedy_group_panels(
+    sim: jnp.ndarray,
+    present: jnp.ndarray,
+    member: jnp.ndarray,
+    pmasks: jnp.ndarray,
+    threshold: float | jnp.ndarray,
+    block: int = 16,
+) -> jnp.ndarray:
+    """:func:`greedy_group` for P panel masks sharing one window's matrix.
+
+    Identical semantics per panel to ``greedy_group(sim, present,
+    member & pmasks[p], threshold)``, but the [N, N] link structure is built
+    ONCE and shared: panel masking happens in the [P, N] flag space, so the
+    peeling rounds are [P, N] @ [N, N] matmuls and the final seed argmin uses
+    a two-level block decomposition — nothing of shape [P, N, N] is ever
+    materialised.  This is the HBM-bandwidth-critical path of the whole
+    engine (every π/Fst estimator groups 5-15 panels per window).
+
+    Args:
+      pmasks: [P, N] bool panel masks (ANDed with member)
+    Returns:
+      gid [P, N] int32 (seed row per member, N sentinel elsewhere)
+    """
+    n_cap = member.shape[0]
+    order = jnp.arange(n_cap, dtype=jnp.int32)
+    link = (sim > threshold) & present & member[None, :] & member[:, None]
+    elink = link & (order[:, None] < order[None, :])   # [j, i], j earlier
+    elink_f = elink.astype(jnp.float32)
+
+    pm = pmasks & member[None, :]                      # [P, N]
+
+    def any_earlier(flags):  # flags [P, N] -> [P, N]
+        hits = jax.lax.dot_general(
+            (flags & pm).astype(jnp.float32), elink_f,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return hits > 0.5
+
+    def cond(state):
+        decided, _ = state
+        return jnp.any(pm & ~decided)
+
+    def body(state):
+        decided, seed = state
+        blocked = any_earlier(~decided)
+        frontier = pm & ~decided & ~blocked
+        absorbed = any_earlier(decided & seed)
+        new_seed = frontier & ~absorbed
+        return decided | frontier, seed | new_seed
+
+    decided0 = ~pm
+    seed0 = jnp.zeros_like(pm)
+    _, seed = jax.lax.while_loop(cond, body, (decided0, seed0))
+
+    # --- argmin of {j < i : seed_p[j] & elink[j, i]} without [P, N, N] ---
+    n_blocks = n_cap // block
+    eb = elink_f.reshape(n_blocks, block, n_cap)        # [B, K, N]
+    seeds_b = seed.reshape(pm.shape[0], n_blocks, block)  # [P, B, K]
+
+    # which j-blocks contain a candidate for (p, i)
+    hits_b = jnp.einsum(
+        "pbk,bkn->pbn", seeds_b.astype(jnp.float32), eb,
+        preferred_element_type=jnp.float32,
+    ) > 0.5                                              # [P, B, N]
+    block_ids = jnp.arange(n_blocks, dtype=jnp.int32)
+    first_block = jnp.min(
+        jnp.where(hits_b, block_ids[None, :, None], n_blocks), axis=1
+    )                                                    # [P, N]
+    fb = jnp.minimum(first_block, n_blocks - 1)
+
+    # gather the winning block's slices (everything [P, N, K] — small):
+    #   eg[p, i, k] = eb[fb[p,i], k, i]   (elink rows of the winning block)
+    #   sg[p, i, k] = seeds_b[p, fb[p,i], k]
+    p_count = pm.shape[0]
+    et = jnp.transpose(eb, (2, 0, 1))                    # [N, B, K]
+    eg = jnp.take_along_axis(
+        jnp.broadcast_to(et[None], (p_count,) + et.shape),
+        fb[:, :, None, None],
+        axis=2,
+    )[:, :, 0, :]                                        # [P, N, K]
+    sg = jnp.take_along_axis(seeds_b, fb[:, :, None], axis=1)  # [P, N, K]
+    cand = (eg > 0.5) & sg                               # [P, N, K]
+    k_ids = jnp.arange(block, dtype=jnp.int32)
+    in_block = jnp.min(jnp.where(cand, k_ids[None, None, :], block), axis=-1)
+    has_cand = first_block < n_blocks
+    min_seed = jnp.where(
+        has_cand, fb * block + jnp.minimum(in_block, block - 1), n_cap
+    ).astype(jnp.int32)
+
+    gid = jnp.where(seed, order[None, :], min_seed)
+    return jnp.where(pm, gid, n_cap)
 
 
 def group_sizes(gid: jnp.ndarray, member: jnp.ndarray) -> jnp.ndarray:

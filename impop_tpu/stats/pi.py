@@ -21,14 +21,17 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import jax
+
 from impop_tpu.stats.grouping import (
     first_pair_winner,
     greedy_group,
+    greedy_group_panels,
     group_sizes,
     rep_weights,
 )
 
-__all__ = ["PiResult", "pi_grouped", "grouped_diversity"]
+__all__ = ["PiResult", "pi_grouped", "pi_grouped_panels", "grouped_diversity"]
 
 
 class PiResult(NamedTuple):
@@ -64,6 +67,58 @@ def pi_grouped(sim, present, member, threshold) -> PiResult:
     num_groups = jnp.sum(is_rep.astype(jnp.int32))
     rep_pair = is_rep[:, None] & is_rep[None, :] & offdiag
     pairs_used = jnp.sum((rep_pair & present).astype(jnp.int32)) // 2
+    pairs_total = (num_groups * (num_groups - 1)) // 2
+    pairs_missing = pairs_total - pairs_used
+
+    pi = jnp.where(
+        (n > 1) & (pairs_used > 0), n / jnp.maximum(n - 1.0, 1.0) * quad, 0.0
+    )
+    return PiResult(pi, n, num_groups, pairs_used, pairs_missing)
+
+
+def pi_grouped_panels(sim, present, member, pmasks, threshold) -> PiResult:
+    """:func:`pi_grouped` for P panels of one window in a single pass.
+
+    Grouping shares the window's [N, N] link structure across panels
+    (greedy_group_panels) and the P quadratic forms become one
+    [P, N] @ [N, N] matmul plus a row-wise dot — every [N, N] operand is
+    read once per window instead of once per panel.  Returns PiResult with
+    [P]-shaped fields.
+    """
+    n_cap = member.shape[0]
+    gid = greedy_group_panels(sim, present, member, pmasks, threshold)  # [P,N]
+    pm = pmasks & member[None, :]
+    n = jnp.sum(pm.astype(jnp.float32), axis=1)                         # [P]
+
+    sizes = jax.vmap(group_sizes)(gid, pm)                              # [P,N]
+    is_rep = sizes > 0
+    w = jnp.where(
+        is_rep, sizes.astype(jnp.float32) / jnp.maximum(n, 1.0)[:, None], 0.0
+    )                                                                   # [P,N]
+
+    offdiag = ~jnp.eye(n_cap, dtype=bool)
+    pair_mask = present & offdiag
+    contrib = jnp.where(pair_mask, 1.0 - sim, 0.0)
+    y = jax.lax.dot_general(
+        w, contrib, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                                   # [P,N]
+    quad = jnp.sum(y * w, axis=1)                                       # [P]
+
+    num_groups = jnp.sum(is_rep.astype(jnp.int32), axis=1)
+    # group pairs with data: rep-pair presence via one matmul on the shared
+    # presence matrix
+    rep_f = is_rep.astype(jnp.float32)
+    pres_f = pair_mask.astype(jnp.float32)
+    pairs_used = jnp.round(
+        jnp.sum(
+            jax.lax.dot_general(
+                rep_f, pres_f, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * is_rep.astype(jnp.float32),
+            axis=1,
+        ) / 2.0
+    ).astype(jnp.int32)
     pairs_total = (num_groups * (num_groups - 1)) // 2
     pairs_missing = pairs_total - pairs_used
 

@@ -108,3 +108,30 @@ def test_pi_subset_masks(rng):
                 if k[0] in set(panel) and k[1] in set(panel)}
     want, _ = oracle.pica2_pi(sub_dict, panel, 0.995)
     np.testing.assert_allclose(float(got.pi), want, rtol=2e-5, atol=1e-9)
+
+
+def test_pi_grouped_panels_matches_single(rng):
+    """Shared-matrix panels kernel == per-panel pi_grouped."""
+    from impop_tpu.stats.pi import pi_grouped_panels
+
+    sim_dict, sm = random_sim_case(rng, 60, missing_frac=0.2, round_digits=5)
+    tile = tile_of(sm, capacity=128)
+    pmasks = np.zeros((4, 128), dtype=bool)
+    pmasks[0, :60] = True                      # all
+    pmasks[1, :60:2] = True                    # evens
+    pmasks[2, 1:60:3] = True                   # sparse
+    pmasks[3, :0] = True                       # empty
+    f = jax.jit(lambda s, p, m, pm, t: pi_grouped_panels(
+        s, p, m, pm, jnp.asarray(t, jnp.float32)))
+    res = f(tile.sim, tile.present, tile.member, jnp.asarray(pmasks), 0.995)
+    for pi_idx in range(4):
+        single = pi_grouped_jit(
+            tile.sim, tile.present,
+            tile.member & jnp.asarray(pmasks[pi_idx]), 0.995,
+        )
+        np.testing.assert_allclose(
+            float(res.pi[pi_idx]), float(single.pi), rtol=1e-5, atol=1e-9,
+            err_msg=str(pi_idx),
+        )
+        assert int(res.num_groups[pi_idx]) == int(single.num_groups)
+        assert int(res.pairs_used[pi_idx]) == int(single.pairs_used)
