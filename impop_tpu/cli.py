@@ -560,6 +560,235 @@ def cmd_panels_tajd(args) -> int:
     return 0
 
 
+# --------------------------------------------------------------- scan (fused)
+
+
+def cmd_scan(args) -> int:
+    """The TPU-native fused scan: one pass over allele windows computing π,
+    Tajima's D per panel and Hudson/3-π Fst per panel pair — the work of all
+    seven reference drivers in a single device program per batch, with a
+    result journal for idempotent resume (the reference restarts from
+    scratch, SURVEY.md §5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.io.panels import expand_population
+    from impop_tpu.runtime.journal import ResultJournal
+    from impop_tpu.stats.allele import identity_from_alleles, segregating_sites
+    from impop_tpu.stats.fst import hudson_fst_direct_pairs
+    from impop_tpu.stats.pi import pi_grouped_panels
+    from impop_tpu.stats.tajima import tajimas_d
+
+    regions = read_bed(args.bed)
+    geno_src = (GenoSource(args.geno_dir) if args.geno_dir else None)
+    extractor = (_open_extractor(args.paf, args.fasta)
+                 if args.paf and args.fasta else None)
+    if geno_src is None and extractor is None:
+        raise SystemExit("error: provide --geno-dir or --paf + --fasta")
+
+    panel_files = sorted(args.panel or [])
+    panel_names = [os.path.basename(p).split(".")[-1] for p in panel_files]
+    panel_lists = [read_panel_file(p) for p in panel_files]
+    p_count = max(1, len(panel_lists))
+    pair_list = [(i, j) for i in range(len(panel_lists))
+                 for j in range(i + 1, len(panel_lists))]
+
+    journal = ResultJournal(args.journal)
+
+    header = ["REGION", "LENGTH", "SAMPLES", "SEGREGATING_SITES"]
+    if panel_lists:
+        for name in panel_names:
+            header += [f"PI_{name}", f"TAJD_{name}"]
+        for i, j in pair_list:
+            header += [f"FST_{panel_names[i]}_{panel_names[j]}",
+                       f"FST3_{panel_names[i]}_{panel_names[j]}"]
+    else:
+        header += ["PI", "TAJIMAS_D"]
+
+    t = jnp.float32(args.threshold)
+    pair_a = jnp.asarray([i for i, _ in pair_list] or [0], jnp.int32)
+    pair_b = jnp.asarray([j for _, j in pair_list] or [0], jnp.int32)
+
+    def one_window(g, m, smask, panels1, length):
+        sim, present = identity_from_alleles(g, m, smask, length)
+        s_count = segregating_sites(g, m, smask)
+        unions = panels1[pair_a] | panels1[pair_b]
+        res = pi_grouped_panels(
+            sim, present, m, jnp.concatenate([panels1, unions], 0), t
+        )
+        pi_panel = res.pi[:panels1.shape[0]]
+        pi_c = res.pi[panels1.shape[0]:]
+        d = tajimas_d(res.n[:panels1.shape[0]],
+                      s_count.astype(jnp.float32), pi_panel / length)
+        mask_a = panels1[pair_a] & m[None, :]
+        mask_b = panels1[pair_b] & m[None, :]
+        ov = mask_a & mask_b
+        fst = hudson_fst_direct_pairs(sim, present, mask_a & ~ov,
+                                      mask_b & ~ov).fst
+        pi_ab = 0.5 * (pi_panel[pair_a] + pi_panel[pair_b])
+        f3 = jnp.where(pi_c != 0,
+                       (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0),
+                       jnp.nan)
+        n_all = jnp.sum(m.astype(jnp.int32))
+        return pi_panel, d, fst, f3, s_count, n_all
+
+    step = jax.jit(jax.vmap(one_window))
+
+    out = _out_stream(args.output)
+    try:
+        print("\t".join(header), file=out)
+        pending: List[Tuple[Region, str]] = []
+        for reg in regions:
+            rs = reg.region_string(args.prefix)
+            rec = journal.get(rs)
+            if rec is not None and "row" in rec:
+                print(rec["row"], file=out)
+                continue
+            pending.append((reg, rs))
+
+        batch_size = args.batch
+        for lo in range(0, len(pending), batch_size):
+            chunk = pending[lo:lo + batch_size]
+            tiles, kept = [], []
+            for reg, rs in chunk:
+                try:
+                    if geno_src is not None:
+                        g, names = geno_src.load(rs)
+                    else:
+                        wm = extractor.extract(rs.rsplit(":", 1)[0],
+                                               reg.start, reg.end)
+                        g, names = wm.geno, wm.names
+                except Exception as e:
+                    _warn(f"Warning: {rs}: {e}; recording NA")
+                    journal.record_failure(rs, str(e))
+                    continue
+                order = np.argsort(names)
+                tiles.append((np.asarray(g, np.int8)[order],
+                              [names[i] for i in order]))
+                kept.append((reg, rs))
+            if not tiles:
+                continue
+            cap_n = _capacity_for([t0.shape[0] for t0, _ in tiles])
+            cap_s = max(128, max(t0.shape[1] for t0, _ in tiles))
+            cap_s = ((cap_s + 127) // 128) * 128
+            w = len(tiles)
+            geno = np.full((w, cap_n, cap_s), -1, dtype=np.int8)
+            member = np.zeros((w, cap_n), bool)
+            smask = np.zeros((w, cap_s), bool)
+            panels = np.zeros((w, p_count, cap_n), bool)
+            lengths = np.zeros(w, np.float32)
+            for wi, ((g, names), (reg, rs)) in enumerate(zip(tiles, kept)):
+                n, s = g.shape
+                geno[wi, :n, :s] = g
+                member[wi, :n] = True
+                smask[wi, :s] = True
+                lengths[wi] = reg.length
+                if panel_lists:
+                    for pi_idx, plist in enumerate(panel_lists):
+                        matched, _ = expand_population(plist, names)
+                        for k, nm in enumerate(names):
+                            if nm in matched:
+                                panels[wi, pi_idx, k] = True
+                else:
+                    panels[wi, 0, :n] = True
+            pi_v, d_v, fst_v, f3_v, s_v, n_v = jax.tree_util.tree_map(
+                np.asarray,
+                step(geno, member, smask, panels, lengths),
+            )
+            for wi, (reg, rs) in enumerate(kept):
+                cells = [rs, str(reg.length), str(int(n_v[wi])),
+                         str(int(s_v[wi]))]
+                for pi_idx in range(panels.shape[1]):
+                    pi_site = float(pi_v[wi, pi_idx]) / reg.length
+                    d_val = float(d_v[wi, pi_idx])
+                    cells += [f"{pi_site:.8f}",
+                              "NA" if np.isnan(d_val) else f"{d_val:.6f}"]
+                if panel_lists:
+                    for qi in range(len(pair_list)):
+                        f_val = float(fst_v[wi, qi])
+                        f3_val = float(f3_v[wi, qi])
+                        cells += [
+                            f"{f_val:.8f}",
+                            "NA" if np.isnan(f3_val) else f"{f3_val:.8f}",
+                        ]
+                row = "\t".join(cells)
+                journal.record(rs, {"row": row})
+                print(row, file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+# --------------------------------------------------------------- ehh
+
+
+def cmd_ehh(args) -> int:
+    """EHH decay around a focal SNP — the capability of wip/ehhgfa.py.
+
+    Reads a whitespace-separated haplotype matrix (no header), binarises
+    non-zero entries (ehhgfa.py:51), slides fixed-width windows, and for each
+    allele at the focal position prints
+    ``window colstart colend allele REF|ALT area``.
+
+    Note: the reference script uses the right half for BOTH decay directions
+    (ehhgfa.py:58-62 assigns ``a`` but never uses it); ``--compat-ehhgfa``
+    reproduces that behaviour, the default uses the left prefix as intended.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.ehh import ehh_forward
+
+    whole = np.loadtxt(args.input)
+    if whole.ndim == 1:
+        whole = whole[None, :]
+    whole = (whole != 0).astype(np.int8)
+    n, total_sites = whole.shape
+    test_snp = args.position - 1
+    wsize = args.window
+
+    out = _out_stream(args.output)
+    ehh_jit = jax.jit(ehh_forward)
+
+    def ehh_np(mat):
+        if mat.shape[1] == 0 or mat.shape[0] < 2:
+            return np.zeros(mat.shape[1])
+        member = np.ones(mat.shape[0], bool)
+        smask = np.ones(mat.shape[1], bool)
+        return np.asarray(ehh_jit(jnp.asarray(mat), jnp.asarray(member),
+                                  jnp.asarray(smask)))
+
+    try:
+        window_name = 1
+        colstart = 0
+        while colstart < total_sites:
+            colend = min(colstart + wsize, total_sites)
+            window = whole[:, colstart:colend]
+            if window.shape[1] == 0 or test_snp >= window.shape[1]:
+                colstart = colend
+                window_name += 1
+                continue
+            ref_allele = window[args.refpos - 1, test_snp]
+            for al in np.unique(window[:, test_snp]):
+                sub = window[window[:, test_snp] == al]
+                right = sub[:, test_snp + 1:]
+                left = right if args.compat_ehhgfa else sub[:, :test_snp]
+                left_ehh = ehh_np(left[:, ::-1])
+                right_ehh = ehh_np(right)
+                curve = np.concatenate([left_ehh[::-1], right_ehh])
+                area = float(np.cumsum(curve)[-1]) if curve.size else 0.0
+                typeal = "REF" if al == ref_allele else "ALT"
+                print(window_name, colstart, colend, al, typeal, area,
+                      file=out, flush=True)
+            colstart = colend
+            window_name += 1
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 # --------------------------------------------------------------- extract
 
 
@@ -700,6 +929,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metadata-dir", required=True)
     p.add_argument("-l", "--length", type=int)
     p.set_defaults(func=cmd_panels_tajd)
+
+    p = sub.add_parser("scan", help="fused pi+Fst+TajD scan with resume")
+    p.add_argument("-b", "--bed", required=True)
+    p.add_argument("--geno-dir", help="directory of per-window .npz tiles")
+    p.add_argument("--paf"); p.add_argument("--fasta")
+    p.add_argument("--panel", action="append", default=[],
+                   help="panel list file (repeatable, e.g. metadata/agc.EUR)")
+    p.add_argument("-P", "--prefix", default="CHM13#0#")
+    p.add_argument("-t", "--threshold", type=float, default=0.999)
+    p.add_argument("-o", "--output")
+    p.add_argument("--journal", help="JSONL journal path for resume")
+    p.add_argument("--batch", type=int, default=32,
+                   help="windows per device step")
+    p.set_defaults(func=cmd_scan)
+
+    p = sub.add_parser("ehh", help="EHH decay around a focal SNP (ehhgfa)")
+    p.add_argument("-i", "--input", required=True,
+                   help="haplotype matrix file (whitespace, no header)")
+    p.add_argument("-p", "--position", type=int, required=True,
+                   help="1-based focal SNP position within the window")
+    p.add_argument("-w", "--window", type=int, required=True)
+    p.add_argument("--refpos", type=int, default=1,
+                   help="1-based reference haplotype row")
+    p.add_argument("-o", "--output")
+    p.add_argument("--compat-ehhgfa", action="store_true",
+                   help="reproduce wip/ehhgfa.py's use of the right half "
+                        "for both directions")
+    p.set_defaults(func=cmd_ehh)
 
     p = sub.add_parser("extract",
                        help="PAF+FASTA -> per-window allele tiles (.npz)")

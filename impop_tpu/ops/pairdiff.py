@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: fused pairwise-difference / identity matrix.
+
+The innermost data-path op of the engine: [N, S] int8 allele codes →
+[N, N] estimated-identity matrix + presence mask (the capability of
+``impg similarity``, computed from variant matrices instead of pairwise
+sequence alignment — SURVEY.md §2.2).
+
+The XLA path (stats/allele.py) materialises the validity mask, the masked
+allele matrix and its complement in HBM before two Gram matmuls.  This
+kernel tiles the [N, N] output over the MXU and streams S-chunks of the
+int8 tile through VMEM, building the f32 operands on the fly — the int8
+input is read once per output tile pair and nothing else touches HBM:
+
+    diff[i,j]     = Σ_s  x_i(1-x_j) + (1-x_i)x_j   over mutually-valid s
+    compared[i,j] = Σ_s  valid_i · valid_j
+    sim[i,j]      = 1 - diff/length   where compared > 0  (diag forced 1)
+
+Grid: (N/Ti, N/Tj, S/Ts) with an accumulator in VMEM scratch, masked
+finalisation on the last S-step.  Biallelic (0/1, -1 missing) codes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pairwise_identity_pallas", "pairwise_identity_xla"]
+
+
+def _kernel(xi_ref, xj_ref, mi_ref, mj_ref, len_ref,
+            sim_ref, pres_ref, acc_diff, acc_cmp):
+    """One (Ti, Tj) output tile, accumulating over the S grid axis."""
+    s_idx = pl.program_id(2)
+    n_s = pl.num_programs(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        acc_diff[:] = jnp.zeros_like(acc_diff)
+        acc_cmp[:] = jnp.zeros_like(acc_cmp)
+
+    # int8 compares are unsupported on the VPU — widen to f32 first
+    xi = xi_ref[:].astype(jnp.float32)  # [Ti, Ts]
+    xj = xj_ref[:].astype(jnp.float32)  # [Tj, Ts]
+    vi = (xi >= 0).astype(jnp.float32)
+    vj = (xj >= 0).astype(jnp.float32)
+    ai = xi * vi  # alleles, zeroed at invalid sites (codes are 0/1/-1)
+    aj = xj * vj
+    ci = vi - ai  # complement within valid sites
+    cj = vj - aj
+
+    # diff += ai·cjᵀ + ci·ajᵀ ; compared += vi·vjᵀ   (all MXU)
+    acc_diff[:] += (
+        jax.lax.dot_general(ai, cj, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(ci, aj, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    acc_cmp[:] += jax.lax.dot_general(vi, vj, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(s_idx == n_s - 1)
+    def _():
+        mi = mi_ref[0, :]  # [Ti] member mask (row block)
+        mj = mj_ref[0, :]  # [Tj]
+        length = len_ref[0, 0]
+        cmp_ = acc_cmp[:]
+        present = (cmp_ > 0) & (mi[:, None] > 0) & (mj[None, :] > 0)
+        sim = jnp.where(
+            present, 1.0 - acc_diff[:] / jnp.maximum(length, 1.0), 0.0
+        )
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        block = sim.shape[0]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0) + ti * block
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) + tj * block
+        diag = (row_ids == col_ids) & (mi[:, None] > 0)
+        sim_ref[:] = jnp.where(diag, 1.0, sim)
+        pres_ref[:] = (present | diag).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_s"))
+def pairwise_identity_pallas(
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    length: jnp.ndarray,
+    tile_n: int = 256,
+    tile_s: int = 512,
+):
+    """Fused identity matrix for one window.
+
+    Args:
+      geno:      [N, S] int8, 0/1 alleles, -1 missing (N, S multiples of the
+                 tile sizes; pad with -1 / False)
+      member:    [N] bool
+      site_mask: [S] bool
+      length:    scalar f32 window length in bp
+    Returns:
+      (sim [N, N] f32, present [N, N] bool)
+    """
+    n, s = geno.shape
+    tile_n = min(tile_n, n)
+    tile_s = min(tile_s, s)
+    assert n % tile_n == 0 and s % tile_s == 0
+
+    # invalid sites are already -1; apply the site mask once on the way in
+    geno = jnp.where(site_mask[None, :], geno, jnp.int8(-1))
+    member_f = member.astype(jnp.float32)[None, :]  # [1, N] for SMEM-friendly 2D
+    length_v = jnp.asarray(length, jnp.float32).reshape(1, 1)
+
+    grid = (n // tile_n, n // tile_n, s // tile_s)
+    sim, pres = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, tile_s), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_s), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, k: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, tile_n), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_n), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, n), jnp.int8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_n, tile_n), jnp.float32),
+            pltpu.VMEM((tile_n, tile_n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * n * s,
+            bytes_accessed=2 * n * s + 5 * n * n,
+            transcendentals=0,
+        ),
+    )(geno, geno, member_f, member_f, length_v)
+    return sim, pres.astype(bool)
+
+
+def pairwise_identity_xla(geno, member, site_mask, length):
+    """The reference XLA formulation (stats/allele.identity_from_alleles) —
+    kept here for A/B benchmarking against the Pallas kernel."""
+    from impop_tpu.stats.allele import identity_from_alleles
+
+    return identity_from_alleles(geno, member, site_mask, length)

@@ -154,3 +154,53 @@ def test_cli_makewindows(fixture_dir, capsys):
     out = capsys.readouterr().out
     assert out.splitlines() == ["chr1\t0\t400", "chr1\t400\t800",
                                 "chr1\t800\t1000"]
+
+
+def test_cli_scan_with_journal_resume(tmp_path, rng):
+    from impop_tpu.extract.simulate import simulate
+
+    sim = simulate(str(tmp_path), ref_len=2000, n_haps=8, n_snps=6, seed=2,
+                   span=(0, 2000))
+    bed = tmp_path / "w.bed"
+    bed.write_text("chr1\t0\t1000\nchr1\t1000\t2000\n")
+    # panels: split the 4 samples into two lists (prefix-expanded)
+    (tmp_path / "agc.P1").write_text("HG00900\nHG00901\n")
+    (tmp_path / "agc.P2").write_text("HG00902\nHG00903\n")
+    journal = tmp_path / "scan.jsonl"
+    out1 = tmp_path / "scan1.tsv"
+    main(["scan", "-b", str(bed), "--paf", sim.paf_path,
+          "--fasta", sim.fasta_path, "-P", "CHM13#0#",
+          "--panel", str(tmp_path / "agc.P1"),
+          "--panel", str(tmp_path / "agc.P2"),
+          "--journal", str(journal), "-o", str(out1)])
+    lines1 = [l for l in out1.read_text().splitlines() if l]
+    assert lines1[0].split("\t")[:4] == ["REGION", "LENGTH", "SAMPLES",
+                                         "SEGREGATING_SITES"]
+    assert "FST_P1_P2" in lines1[0]
+    assert len(lines1) == 3
+
+    # resume: journal replay must reproduce rows without recompute
+    out2 = tmp_path / "scan2.tsv"
+    main(["scan", "-b", str(bed), "--paf", sim.paf_path,
+          "--fasta", sim.fasta_path, "-P", "CHM13#0#",
+          "--panel", str(tmp_path / "agc.P1"),
+          "--panel", str(tmp_path / "agc.P2"),
+          "--journal", str(journal), "-o", str(out2)])
+    assert out2.read_text() == out1.read_text()
+
+
+def test_cli_ehh_matches_reference_loops(tmp_path, rng):
+    hap = rng.integers(0, 2, size=(6, 12))
+    mat = tmp_path / "haps.txt"
+    np.savetxt(mat, hap, fmt="%d")
+    out = tmp_path / "ehh.out"
+    main(["ehh", "-i", str(mat), "-p", "5", "-w", "12", "--refpos", "1",
+          "-o", str(out)])
+    lines = [l for l in out.read_text().splitlines() if l]
+    # one line per distinct allele at the focal position
+    alleles = set(hap[:, 4])
+    assert len(lines) == len(alleles)
+    for line in lines:
+        parts = line.split()
+        assert parts[0] == "1" and parts[4] in ("REF", "ALT")
+        float(parts[5])

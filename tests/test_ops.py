@@ -1,0 +1,30 @@
+"""Pallas kernel vs XLA formulation (interpret mode on the CPU mesh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from impop_tpu.ops.pairdiff import pairwise_identity_pallas, pairwise_identity_xla
+
+
+def test_pairwise_identity_pallas_matches_xla(rng):
+    n, s = 256, 512
+    geno = rng.integers(0, 2, size=(n, s)).astype(np.int8)
+    geno[rng.random((n, s)) < 0.07] = -1
+    geno[-20:] = -1
+    member = np.ones(n, bool)
+    member[-20:] = False
+    site_mask = np.ones(s, bool)
+    site_mask[-13:] = False
+    length = jnp.float32(5000.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        sim_p, pres_p = pairwise_identity_pallas(
+            geno, member, site_mask, length, tile_n=128, tile_s=256
+        )
+    sim_x, pres_x = jax.jit(pairwise_identity_xla)(
+        geno, member, site_mask, length
+    )
+    np.testing.assert_allclose(np.asarray(sim_p), np.asarray(sim_x),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pres_p), np.asarray(pres_x))
