@@ -43,6 +43,23 @@ def _warn(msg: str) -> None:
     print(msg, file=sys.stderr)
 
 
+def _write_window_log(log_dir: str, region: str, title: str, payload: dict) -> None:
+    """Two-channel output contract (SURVEY.md §5): the TSV table goes to
+    stdout/-o, per-window debug detail goes to a log directory — the
+    reference writes step-by-step math to <input>.log (pica2.py:186-206,
+    h-fst.py:323-335); ours is one human-readable + machine-parseable file
+    per window."""
+    import json
+
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{_sanitize(region)}.log")
+    with open(path, "w") as fh:
+        fh.write(f"{title}\n{'=' * len(title)}\n")
+        for key, val in payload.items():
+            fh.write(f"{key}: {val}\n")
+        fh.write("\n" + json.dumps(payload) + "\n")
+
+
 def _out_stream(path: Optional[str]):
     return open(path, "w") if path else sys.stdout
 
@@ -278,6 +295,10 @@ def cmd_pi(args) -> int:
         res = batch_pi_panels(batch.sim, batch.present, batch.member,
                               batch.panels, args.threshold)
         pi = np.asarray(res.pi)[:, 0]
+        n_v = np.asarray(res.n)[:, 0]
+        groups_v = np.asarray(res.num_groups)[:, 0]
+        used_v = np.asarray(res.pairs_used)[:, 0]
+        miss_v = np.asarray(res.pairs_missing)[:, 0]
         for wi, reg in enumerate(kept):
             length = args.length or reg.length
             pica = tables.format_pica_output(
@@ -285,6 +306,22 @@ def cmd_pi(args) -> int:
             )
             print(tables.pi_row(region_strings[wi], subset_label, length,
                                 args.threshold, args.round, pica), file=out)
+            if args.log_dir:
+                _write_window_log(
+                    args.log_dir, region_strings[wi],
+                    "Nucleotide Diversity Analysis Log",
+                    {
+                        "region": region_strings[wi],
+                        "threshold": args.threshold,
+                        "round_digits": args.round,
+                        "n": int(n_v[wi]),
+                        "groups": int(groups_v[wi]),
+                        "group_pairs_with_data": int(used_v[wi]),
+                        "group_pairs_missing": int(miss_v[wi]),
+                        "pi": float(pi[wi]),
+                        "pi_per_site": float(pi[wi]) / length,
+                    },
+                )
     finally:
         if out is not sys.stdout:
             out.close()
@@ -343,6 +380,17 @@ def _run_hudson(args, grouped: bool) -> int:
                 region_strings[wi], length, fst,
                 pi_a * inv, pi_b * inv, pi_xy * inv, dxy * inv, da * inv,
             ), file=out)
+            if args.log_dir:
+                _write_window_log(
+                    args.log_dir, region_strings[wi], "FST Calculation",
+                    {
+                        "region": region_strings[wi],
+                        "method": "grouped" if grouped else "direct",
+                        "pi_a": pi_a, "pi_b": pi_b, "pi_xy": pi_xy,
+                        "dxy": dxy, "fst": fst, "da": da,
+                        "per_site_length": length,
+                    },
+                )
     finally:
         if out is not sys.stdout:
             out.close()
@@ -789,6 +837,81 @@ def cmd_ehh(args) -> int:
     return 0
 
 
+# --------------------------------------------------------------- spectrum
+
+
+def cmd_spectrum(args) -> int:
+    """Allele-frequency spectrum from a site-by-haplotype table — the
+    capability of wip/op-afs.py: per polymorphic site, allele counts and
+    frequencies, plus histogram panels saved as PNGs.
+
+    The input is a TSV with a header whose columns from ``--first-site-col``
+    onward are sites (op-afs.py:112 uses columns[3:]); rows are haplotypes.
+    By default every allele at a site contributes; ``--compat-first-allele``
+    reproduces the reference's quirk of recording only the first allele
+    encountered per site (op-afs.py:40-44).
+    """
+    rows = []
+    with open(args.input) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) == len(header):
+                rows.append(parts)
+    site_cols = list(range(args.first_site_col, len(header)))
+    counts_by_allele: Dict[str, List[int]] = {}
+    freqs_by_allele: Dict[str, List[float]] = {}
+    table_rows = []
+    for c in site_cols:
+        values = [r[c] for r in rows]
+        if not values or all(v == values[0] for v in values):
+            continue  # monomorphic sites skipped (op-afs.py:32-35)
+        total = len(values)
+        tally: Dict[str, int] = {}
+        for v in values:
+            tally[v] = tally.get(v, 0) + 1
+        items = list(tally.items())
+        if args.compat_first_allele:
+            items = items[:1]
+        for allele, count in items:
+            freq = count / total
+            counts_by_allele.setdefault(allele, []).append(count)
+            freqs_by_allele.setdefault(allele, []).append(freq)
+            table_rows.append((header[c], allele, count, freq))
+
+    out = _out_stream(args.output)
+    try:
+        print("site\tallele\tcount\tfrequency", file=out)
+        for site, allele, count, freq in table_rows:
+            print(f"{site}\t{allele}\t{count}\t{freq:.6f}", file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+
+    if not args.no_plots and counts_by_allele:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for data, path, label in (
+            (counts_by_allele, args.counts_png, "counts"),
+            (freqs_by_allele, args.freqs_png, "frequencies"),
+        ):
+            fig, axes = plt.subplots(len(data), 1,
+                                     figsize=(8, 4 * len(data)), squeeze=False)
+            for ax, (allele, vec) in zip(axes[:, 0], sorted(data.items())):
+                ax.hist(vec, bins="auto")
+                ax.set_title(f"allele {allele}")
+                ax.set_xlabel(label)
+                ax.set_ylabel("sites")
+            fig.tight_layout()
+            fig.savefig(path, dpi=120)
+            plt.close(fig)
+            _warn(f"wrote {path}")
+    return 0
+
+
 # --------------------------------------------------------------- extract
 
 
@@ -870,6 +993,8 @@ def _add_common(p):
     p.add_argument("-t", "--threshold", type=float, default=0.999)
     p.add_argument("-r", "--round", type=int, default=None,
                    help="round similarities to N decimal places")
+    p.add_argument("-d", "--log-dir", default=None,
+                   help="directory for per-window debug logs")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -929,6 +1054,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metadata-dir", required=True)
     p.add_argument("-l", "--length", type=int)
     p.set_defaults(func=cmd_panels_tajd)
+
+    p = sub.add_parser("spectrum",
+                       help="allele-frequency spectrum from a "
+                            "site-by-haplotype table (op-afs)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--first-site-col", type=int, default=3,
+                   help="0-based index of the first site column (default 3)")
+    p.add_argument("-o", "--output")
+    p.add_argument("--counts-png", default="counts.png")
+    p.add_argument("--freqs-png", default="freqs.png")
+    p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--compat-first-allele", action="store_true",
+                   help="record only the first allele per site "
+                        "(op-afs.py:40-44 behaviour)")
+    p.set_defaults(func=cmd_spectrum)
 
     p = sub.add_parser("scan", help="fused pi+Fst+TajD scan with resume")
     p.add_argument("-b", "--bed", required=True)
