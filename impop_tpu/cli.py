@@ -627,7 +627,21 @@ def cmd_scan(args) -> int:
     from impop_tpu.stats.pi import pi_grouped_panels
     from impop_tpu.stats.tajima import tajimas_d
 
+    from impop_tpu.parallel.distributed import host_window_range, maybe_initialize
+    from impop_tpu.runtime.profiling import StageTimers, device_trace
+
+    proc_idx, proc_count = (maybe_initialize(True) if args.distributed
+                            else (0, 1))
+    timers = StageTimers()
+
     regions = read_bed(args.bed)
+    if proc_count > 1:
+        lo, hi = host_window_range(len(regions), proc_idx, proc_count)
+        regions = regions[lo:hi]
+        if args.output:
+            args.output = f"{args.output}.part{proc_idx}"
+        if args.journal:
+            args.journal = f"{args.journal}.part{proc_idx}"
     geno_src = (GenoSource(args.geno_dir) if args.geno_dir else None)
     extractor = (_open_extractor(args.paf, args.fasta)
                  if args.paf and args.fasta else None)
@@ -695,25 +709,28 @@ def cmd_scan(args) -> int:
             pending.append((reg, rs))
 
         batch_size = args.batch
+        trace_ctx = device_trace(args.profile_dir)
+        trace_ctx.__enter__()
         for lo in range(0, len(pending), batch_size):
             chunk = pending[lo:lo + batch_size]
             tiles, kept = [], []
-            for reg, rs in chunk:
-                try:
-                    if geno_src is not None:
-                        g, names = geno_src.load(rs)
-                    else:
-                        wm = extractor.extract(rs.rsplit(":", 1)[0],
-                                               reg.start, reg.end)
-                        g, names = wm.geno, wm.names
-                except Exception as e:
-                    _warn(f"Warning: {rs}: {e}; recording NA")
-                    journal.record_failure(rs, str(e))
-                    continue
-                order = np.argsort(names)
-                tiles.append((np.asarray(g, np.int8)[order],
-                              [names[i] for i in order]))
-                kept.append((reg, rs))
+            with timers.stage("extract"):
+                for reg, rs in chunk:
+                    try:
+                        if geno_src is not None:
+                            g, names = geno_src.load(rs)
+                        else:
+                            wm = extractor.extract(rs.rsplit(":", 1)[0],
+                                                   reg.start, reg.end)
+                            g, names = wm.geno, wm.names
+                    except Exception as e:
+                        _warn(f"Warning: {rs}: {e}; recording NA")
+                        journal.record_failure(rs, str(e))
+                        continue
+                    order = np.argsort(names)
+                    tiles.append((np.asarray(g, np.int8)[order],
+                                  [names[i] for i in order]))
+                    kept.append((reg, rs))
             if not tiles:
                 continue
             cap_n = _capacity_for([t0.shape[0] for t0, _ in tiles])
@@ -739,10 +756,18 @@ def cmd_scan(args) -> int:
                                 panels[wi, pi_idx, k] = True
                 else:
                     panels[wi, 0, :n] = True
+            with timers.stage("h2d"):
+                dev_args = tuple(
+                    jax.device_put(a)
+                    for a in (geno, member, smask, panels, lengths)
+                )
+            with timers.stage("device"):
+                out_dev = step(*dev_args)
+                jax.block_until_ready(out_dev)
             pi_v, d_v, fst_v, f3_v, s_v, n_v = jax.tree_util.tree_map(
-                np.asarray,
-                step(geno, member, smask, panels, lengths),
+                np.asarray, out_dev
             )
+            timers.add_windows(len(kept))
             for wi, (reg, rs) in enumerate(kept):
                 cells = [rs, str(reg.length), str(int(n_v[wi])),
                          str(int(s_v[wi]))]
@@ -762,9 +787,12 @@ def cmd_scan(args) -> int:
                 row = "\t".join(cells)
                 journal.record(rs, {"row": row})
                 print(row, file=out)
+        trace_ctx.__exit__(None, None, None)
     finally:
         if out is not sys.stdout:
             out.close()
+    if args.verbose_timing:
+        _warn(timers.report())
     return 0
 
 
@@ -1082,6 +1110,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--journal", help="JSONL journal path for resume")
     p.add_argument("--batch", type=int, default=32,
                    help="windows per device step")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize and shard "
+                        "the window list across processes")
+    p.add_argument("--profile-dir",
+                   help="write a jax.profiler trace to this directory")
+    p.add_argument("--verbose-timing", action="store_true",
+                   help="print per-stage wall times to stderr")
     p.set_defaults(func=cmd_scan)
 
     p = sub.add_parser("ehh", help="EHH decay around a focal SNP (ehhgfa)")
