@@ -943,6 +943,34 @@ def cmd_spectrum(args) -> int:
 # --------------------------------------------------------------- extract
 
 
+def _write_window_vcf(path: str, chrom: str, wm) -> None:
+    """Window variants as minimal VCF — the consumable the reference gets
+    from ``povu gfa2vcf --stdout`` (run_tajd.sh:148): one record per variant
+    key; the non-header line count is the segregating-site count S.  Adds
+    per-haplotype GT columns (0 ref / 1 alt / . uncovered), which povu does
+    not provide."""
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write(f"##source=impop-tpu extract\n")
+        cols = "\t".join(n.replace("\t", "_") for n in wm.names)
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                 + cols + "\n")
+        for c, key in enumerate(wm.site_keys):
+            pos_s, rest = key.split(":", 1)
+            ref, alt = rest.split(">", 1)
+            ref_out = ref if ref else "N"
+            alt_out = alt if alt else "<DEL>"
+            gts = []
+            for row in range(len(wm.names)):
+                val = wm.geno[row, c]
+                gts.append("." if val < 0 else str(int(val)))
+            fh.write(
+                f"{chrom}\t{int(pos_s) + 1}\t.\t{ref_out}\t{alt_out}\t.\t"
+                f".\tNS={sum(g != '.' for g in gts)}\tGT\t" + "\t".join(gts)
+                + "\n"
+            )
+
+
 def cmd_extract(args) -> int:
     """PAF + FASTA → per-window allele tiles (.npz), the native replacement
     for the reference's per-window impg/odgi/povu invocations."""
@@ -969,6 +997,11 @@ def cmd_extract(args) -> int:
             site_pos=np.asarray(wm.site_pos),
             site_keys=np.asarray(wm.site_keys),
         )
+        if args.vcf:
+            _write_window_vcf(
+                os.path.join(args.out_dir, f"{_sanitize(rs)}.vcf"),
+                rs.rsplit(":", 1)[0], wm,
+            )
         n_ok += 1
     _warn(f"extracted {n_ok} windows ({n_err} failed) -> {args.out_dir}")
     return 0 if n_ok or not n_err else 1
@@ -1142,6 +1175,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-P", "--prefix", default="CHM13#0#")
     p.add_argument("--python", action="store_true",
                    help="force the Python fallback extractor")
+    p.add_argument("--vcf", action="store_true",
+                   help="also write per-window VCFs (povu gfa2vcf "
+                        "capability; non-header line count == S)")
     p.set_defaults(func=cmd_extract)
 
     p = sub.add_parser("makewindows", help="fixed-width windows from a region")

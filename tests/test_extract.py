@@ -161,3 +161,58 @@ def test_extract_cli_to_tajd_and_pi(tmp_path):
     lines2 = [l for l in out2.read_text().splitlines() if l]
     assert len(lines2) == 3
     assert not lines2[1].split("\t")[4].startswith("0.00000000")
+
+
+def test_extract_vcf_line_count_is_s(tmp_path):
+    """--vcf: non-header record count == segregating sites (povu contract)."""
+    import jax
+
+    from impop_tpu.cli import main
+    from impop_tpu.stats.allele import segregating_sites
+
+    sim = simulate(str(tmp_path), ref_len=1200, n_haps=6, n_snps=5,
+                   p_indel=0.3, seed=13, span=(0, 1200))
+    bed = tmp_path / "w.bed"
+    bed.write_text("chr1\t0\t1200\n")
+    tiles = tmp_path / "tiles"
+    main(["extract", "-b", str(bed), "--paf", sim.paf_path,
+          "--fasta", sim.fasta_path, "--out-dir", str(tiles),
+          "-P", "CHM13#0#", "--python", "--vcf"])
+    vcf = next(tiles.glob("*.vcf"))
+    records = [l for l in vcf.read_text().splitlines()
+               if l and not l.startswith("#")]
+    npz = np.load(next(tiles.glob("*.npz")))
+    g = npz["geno"]
+    n, s = g.shape
+    member = np.ones(n, bool)
+    smask = np.ones(max(s, 1), bool)[:s] if s else np.zeros(0, bool)
+    # every variant column is polymorphic here (ref row has 0 everywhere)
+    assert len(records) == s
+    assert records[0].split("\t")[0] == "CHM13#0#chr1"
+
+
+def test_greedy_group_pathological_chain(rng):
+    """Worst-case sequential dependency: a chain a0-a1-a2-... where each
+    link crosses the threshold but no transitive link does. The greedy
+    semantics make a0, a2, a4... seeds; peeling must reproduce that."""
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.grouping import greedy_group
+
+    n = 32
+    sim = np.zeros((n, n)); present = np.eye(n, dtype=bool)
+    np.fill_diagonal(sim, 1.0)
+    for i in range(n - 1):
+        sim[i, i + 1] = sim[i + 1, i] = 0.9995
+        present[i, i + 1] = present[i + 1, i] = True
+    cap = 64
+    sim_p = np.zeros((cap, cap), np.float32); sim_p[:n, :n] = sim
+    pres_p = np.zeros((cap, cap), bool); pres_p[:n, :n] = present
+    member = np.zeros(cap, bool); member[:n] = True
+    gid = np.asarray(jax.jit(greedy_group)(
+        jnp.asarray(sim_p), jnp.asarray(pres_p), jnp.asarray(member),
+        jnp.float32(0.999)))
+    # greedy with sorted order: 0 absorbs 1; 2 becomes seed, absorbs 3; ...
+    for i in range(n):
+        assert gid[i] == (i // 2) * 2, i
