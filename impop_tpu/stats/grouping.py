@@ -122,7 +122,7 @@ def greedy_group_panels(
     member: jnp.ndarray,
     pmasks: jnp.ndarray,
     threshold: float | jnp.ndarray,
-    block: int = 16,
+    block: int = 64,
 ) -> jnp.ndarray:
     """:func:`greedy_group` for P panel masks sharing one window's matrix.
 
@@ -140,6 +140,7 @@ def greedy_group_panels(
       gid [P, N] int32 (seed row per member, N sentinel elsewhere)
     """
     n_cap = member.shape[0]
+    p_count = pmasks.shape[0]
     order = jnp.arange(n_cap, dtype=jnp.int32)
     link = (sim > threshold) & present & member[None, :] & member[:, None]
     elink = link & (order[:, None] < order[None, :])   # [j, i], j earlier
@@ -147,29 +148,43 @@ def greedy_group_panels(
 
     pm = pmasks & member[None, :]                      # [P, N]
 
-    def any_earlier(flags):  # flags [P, N] -> [P, N]
-        hits = jax.lax.dot_general(
-            (flags & pm).astype(jnp.float32), elink_f,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+    # --- seed determination: chunked scan over row order -----------------
+    # The seed recurrence s_i = ¬∃ seed j<i with link(j,i) has sequential
+    # depth up to the link-graph chain length (can be ~N on real data, so a
+    # converge-until-done peel is unbounded).  Instead: fixed N/K chunks in
+    # row order; absorption *from earlier chunks* is one [P,N]·[N,K] matvec
+    # against the seeds found so far (elink is strictly lower-triangular, so
+    # not-yet-decided later rows contribute nothing), and the K in-chunk
+    # dependencies resolve in a statically-unrolled micro-loop on [P,K]
+    # flags.  Deterministic N/K-step cost, no data-dependent while_loop.
+    assert n_cap % block == 0
+    n_chunks = n_cap // block
+
+    def chunk_body(c, seeds):
+        seeds_f = (seeds & pm).astype(jnp.float32)
+        cols = jax.lax.dynamic_slice(
+            elink_f, (0, c * block), (n_cap, block)
+        )  # [N, K] — earlier-row links into this chunk
+        absorbed = jax.lax.dot_general(
+            seeds_f, cols, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        return hits > 0.5
+        ) > 0.5                                        # [P, K]
+        in_chunk = jax.lax.dynamic_slice(
+            elink, (c * block, c * block), (block, block)
+        )                                              # [K, K], r < r'
+        pm_c = jax.lax.dynamic_slice(pm, (0, c * block), (p_count, block))
 
-    def cond(state):
-        decided, _ = state
-        return jnp.any(pm & ~decided)
+        seed_cols = []
+        for r in range(block):
+            s_r = pm_c[:, r] & ~absorbed[:, r]
+            seed_cols.append(s_r)
+            absorbed = absorbed | (s_r[:, None] & in_chunk[r][None, :])
+        seed_c = jnp.stack(seed_cols, axis=1)
+        return jax.lax.dynamic_update_slice(seeds, seed_c, (0, c * block))
 
-    def body(state):
-        decided, seed = state
-        blocked = any_earlier(~decided)
-        frontier = pm & ~decided & ~blocked
-        absorbed = any_earlier(decided & seed)
-        new_seed = frontier & ~absorbed
-        return decided | frontier, seed | new_seed
-
-    decided0 = ~pm
-    seed0 = jnp.zeros_like(pm)
-    _, seed = jax.lax.while_loop(cond, body, (decided0, seed0))
+    seed = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, jnp.zeros_like(pm)
+    )
 
     # --- argmin of {j < i : seed_p[j] & elink[j, i]} without [P, N, N] ---
     n_blocks = n_cap // block
