@@ -1002,6 +1002,16 @@ def cmd_extract(args) -> int:
                 os.path.join(args.out_dir, f"{_sanitize(rs)}.vcf"),
                 rs.rsplit(":", 1)[0], wm,
             )
+        if args.gfa:
+            from impop_tpu.extract.gfa import window_to_gfa
+            from impop_tpu.extract.pyfallback import fetch_fasta_window
+
+            target = rs.rsplit(":", 1)[0]
+            ref_seq = fetch_fasta_window(args.fasta, target, reg.start,
+                                         reg.end)
+            with open(os.path.join(args.out_dir,
+                                   f"{_sanitize(rs)}.gfa"), "w") as fh:
+                fh.write(window_to_gfa(wm, ref_seq, reg.start, target))
         n_ok += 1
     _warn(f"extracted {n_ok} windows ({n_err} failed) -> {args.out_dir}")
     return 0 if n_ok or not n_err else 1
@@ -1178,6 +1188,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vcf", action="store_true",
                    help="also write per-window VCFs (povu gfa2vcf "
                         "capability; non-header line count == S)")
+    p.add_argument("--gfa", action="store_true",
+                   help="also write per-window variation-graph GFAs "
+                        "(impg query -o gfa capability)")
     p.set_defaults(func=cmd_extract)
 
     p = sub.add_parser("makewindows", help="fixed-width windows from a region")

@@ -15,7 +15,7 @@ import numpy as np
 
 from impop_tpu.extract import WindowMatrix
 
-__all__ = ["PyExtractor", "read_fasta", "parse_paf"]
+__all__ = ["PyExtractor", "read_fasta", "parse_paf", "fetch_fasta_window"]
 
 _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 _COMP = str.maketrans("ACGTacgt", "TGCAtgca")
@@ -183,3 +183,34 @@ class PyExtractor:
         geno = geno[:, :s] if s else geno[:, :0]
         site_keys = [f"{p}:{r}>{a}" for p, r, a in all_vars]
         return WindowMatrix(names, site_keys, site_pos, geno)
+
+
+def fetch_fasta_window(path: str, name: str, start: int, end: int) -> str:
+    """Random-access FASTA slice via the .fai index (builds none; falls back
+    to a full parse when no index exists)."""
+    import os
+
+    fai = path + ".fai"
+    if os.path.exists(fai):
+        with open(fai) as fh:
+            for line in fh:
+                cols = line.rstrip("\n").split("\t")
+                if len(cols) >= 5 and cols[0] == name:
+                    length, offset, lb, lw = (int(cols[1]), int(cols[2]),
+                                              int(cols[3]), int(cols[4]))
+                    start = max(0, start)
+                    end = min(end, length)
+                    if start >= end:
+                        return ""
+                    out = []
+                    with open(path, "rb") as f:
+                        pos = start
+                        while pos < end:
+                            li, ci = divmod(pos, lb)
+                            take = min(lb - ci, end - pos)
+                            f.seek(offset + li * lw + ci)
+                            out.append(f.read(take).decode())
+                            pos += take
+                    return "".join(out)
+    seqs = read_fasta(path)
+    return seqs.get(name, "")[start:end]

@@ -216,3 +216,41 @@ def test_greedy_group_pathological_chain(rng):
     # greedy with sorted order: 0 absorbs 1; 2 becomes seed, absorbs 3; ...
     for i in range(n):
         assert gid[i] == (i // 2) * 2, i
+
+
+def test_extract_gfa_paths_spell_haplotypes(tmp_path):
+    """GFA export: concatenating each path's segment sequences reproduces
+    the haplotype's window sequence (the graph is a faithful encoding)."""
+    from impop_tpu.extract.gfa import window_to_gfa
+    from impop_tpu.extract.pyfallback import read_fasta
+
+    sim = simulate(str(tmp_path), ref_len=800, n_haps=5, n_snps=6,
+                   p_indel=0.5, seed=21, span=(0, 800))
+    ex = PyExtractor(sim.paf_path, sim.fasta_path)
+    wm = ex.extract(sim.ref_name, 0, 800)
+    seqs = read_fasta(sim.fasta_path)
+    gfa = window_to_gfa(wm, seqs[sim.ref_name][:800], 0, sim.ref_name)
+
+    seg = {}
+    paths = {}
+    for line in gfa.splitlines():
+        parts = line.split("\t")
+        if parts[0] == "S":
+            seg[parts[1]] = "" if parts[2] == "*" else parts[2]
+        elif parts[0] == "P":
+            paths[parts[1]] = [x[:-1] for x in parts[2].split(",")]
+
+    # reference path spells the reference window
+    ref_path = f"{sim.ref_name}:0-800"
+    assert "".join(seg[s] for s in paths[ref_path]) == seqs[sim.ref_name][:800]
+
+    # each fully-spanning haplotype path spells its own sequence (all spans
+    # are (0, 800) here; reverse-strand contigs are stored revcomp'd)
+    from impop_tpu.extract.pyfallback import revcomp
+
+    for hap in sim.haplotypes:
+        row_name = next(n for n in wm.names if n.startswith(hap.name + ":"))
+        walked = "".join(seg[s] for s in paths[row_name])
+        stored = seqs[hap.name]
+        want = revcomp(stored) if hap.reverse else stored
+        assert walked == want, hap.name
