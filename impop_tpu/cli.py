@@ -711,26 +711,40 @@ def cmd_scan(args) -> int:
         batch_size = args.batch
         trace_ctx = device_trace(args.profile_dir)
         trace_ctx.__enter__()
-        for lo in range(0, len(pending), batch_size):
-            chunk = pending[lo:lo + batch_size]
-            tiles, kept = [], []
+
+        def load_chunk(chunk):
+            tiles, kept, failures = [], [], []
+            for reg, rs in chunk:
+                try:
+                    if geno_src is not None:
+                        g, names = geno_src.load(rs)
+                    else:
+                        wm = extractor.extract(rs.rsplit(":", 1)[0],
+                                               reg.start, reg.end)
+                        g, names = wm.geno, wm.names
+                except Exception as e:
+                    failures.append((rs, str(e)))
+                    continue
+                order = np.argsort(names)
+                tiles.append((np.asarray(g, np.int8)[order],
+                              [names[i] for i in order]))
+                kept.append((reg, rs))
+            return tiles, kept, failures
+
+        # pipeline: extract batch k+1 on a worker thread while the device
+        # computes batch k (the reference is fully sequential per window)
+        import concurrent.futures as _fut
+
+        chunks = [pending[lo:lo + batch_size]
+                  for lo in range(0, len(pending), batch_size)]
+        pool = _fut.ThreadPoolExecutor(max_workers=1)
+        futures = iter([pool.submit(load_chunk, c) for c in chunks])
+        for _chunk_idx in range(len(chunks)):
             with timers.stage("extract"):
-                for reg, rs in chunk:
-                    try:
-                        if geno_src is not None:
-                            g, names = geno_src.load(rs)
-                        else:
-                            wm = extractor.extract(rs.rsplit(":", 1)[0],
-                                                   reg.start, reg.end)
-                            g, names = wm.geno, wm.names
-                    except Exception as e:
-                        _warn(f"Warning: {rs}: {e}; recording NA")
-                        journal.record_failure(rs, str(e))
-                        continue
-                    order = np.argsort(names)
-                    tiles.append((np.asarray(g, np.int8)[order],
-                                  [names[i] for i in order]))
-                    kept.append((reg, rs))
+                tiles, kept, failures = next(futures).result()
+            for rs, err in failures:
+                _warn(f"Warning: {rs}: {err}; recording NA")
+                journal.record_failure(rs, err)
             if not tiles:
                 continue
             cap_n = _capacity_for([t0.shape[0] for t0, _ in tiles])
@@ -787,6 +801,7 @@ def cmd_scan(args) -> int:
                 row = "\t".join(cells)
                 journal.record(rs, {"row": row})
                 print(row, file=out)
+        pool.shutdown(wait=False)
         trace_ctx.__exit__(None, None, None)
     finally:
         if out is not sys.stdout:
