@@ -209,13 +209,22 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
   wm.n = static_cast<int64_t>(haps.size());
   wm.geno.assign(static_cast<size_t>(wm.n * std::max<int64_t>(wm.s, 1)), -1);
 
+  // column coverage: insertion columns (empty ref) sit *between* bases, so
+  // a haplotype covers them iff cover_start < pos <= cover_end; base-anchored
+  // variants use cover_start <= pos < cover_end
+  std::vector<bool> col_is_ins;
+  for (const Variant& v : all_variants) col_is_ins.push_back(v.ref.empty());
+
   int64_t row = 0;
   for (const auto& [name, hap] : haps) {  // std::map: sorted row names
     wm.names.push_back(name);
     for (int64_t c = 0; c < wm.s; ++c) {
       int64_t pos = wm.site_pos[static_cast<size_t>(c)];
       int8_t val = -1;
-      if (pos >= hap.cover_start && pos < hap.cover_end) val = 0;
+      bool covered = col_is_ins[static_cast<size_t>(c)]
+                         ? (pos > hap.cover_start && pos <= hap.cover_end)
+                         : (pos >= hap.cover_start && pos < hap.cover_end);
+      if (covered) val = 0;
       wm.geno[static_cast<size_t>(row * wm.s + c)] = val;
     }
     for (const Variant& v : hap.variants) {

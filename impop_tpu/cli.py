@@ -696,6 +696,33 @@ def cmd_scan(args) -> int:
 
     step = jax.jit(jax.vmap(one_window))
 
+    # shard the window batch over every local device (GSPMD); a single chip
+    # degenerates to plain placement
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from impop_tpu.parallel.mesh import make_mesh, window_sharding
+
+        mesh = make_mesh(data=n_dev)
+
+    def put_batch(arrays):
+        if mesh is None:
+            return tuple(jax.device_put(a) for a in arrays)
+        w = arrays[0].shape[0]
+        w_pad = ((w + n_dev - 1) // n_dev) * n_dev
+        padded = []
+        for a in arrays:
+            if w_pad != w:
+                pad_shape = (w_pad - w,) + a.shape[1:]
+                fill = -1 if a.dtype == np.int8 else 0
+                a = np.concatenate(
+                    [a, np.full(pad_shape, fill, dtype=a.dtype)], axis=0
+                )
+            padded.append(
+                jax.device_put(a, window_sharding(mesh, a.ndim))
+            )
+        return tuple(padded)
+
     out = _out_stream(args.output)
     try:
         print("\t".join(header), file=out)
@@ -771,10 +798,7 @@ def cmd_scan(args) -> int:
                 else:
                     panels[wi, 0, :n] = True
             with timers.stage("h2d"):
-                dev_args = tuple(
-                    jax.device_put(a)
-                    for a in (geno, member, smask, panels, lengths)
-                )
+                dev_args = put_batch((geno, member, smask, panels, lengths))
             with timers.stage("device"):
                 out_dev = step(*dev_args)
                 jax.block_until_ready(out_dev)
@@ -989,21 +1013,48 @@ def _write_window_vcf(path: str, chrom: str, wm) -> None:
 def cmd_extract(args) -> int:
     """PAF + FASTA → per-window allele tiles (.npz), the native replacement
     for the reference's per-window impg/odgi/povu invocations."""
+    from impop_tpu.extract import split_window_matrix
+
     regions = read_bed(args.bed)
     os.makedirs(args.out_dir, exist_ok=True)
     extractor = _open_extractor(args.paf, args.fasta,
                                 use_native=not args.python)
-    n_ok = n_err = 0
-    for reg in regions:
-        rs = reg.region_string(args.prefix)
-        try:
-            wm = extractor.extract(
-                rs.rsplit(":", 1)[0], reg.start, reg.end
+    if args.split:
+        # one CIGAR walk per BED row, then column-slice per window (the
+        # reference runs one impg process per window)
+        expanded = []
+        for reg in regions:
+            rs = reg.region_string(args.prefix)
+            try:
+                wm_range = extractor.extract(rs.rsplit(":", 1)[0],
+                                             reg.start, reg.end)
+            except Exception as e:
+                _warn(f"Warning: extraction failed for {rs}: {e}")
+                continue
+            wins = make_windows(reg.chrom, reg.start, reg.end, args.split)
+            parts = split_window_matrix(
+                wm_range, [(w.start, w.end) for w in wins]
             )
-        except Exception as e:
-            _warn(f"Warning: extraction failed for {rs}: {e}")
-            n_err += 1
-            continue
+            expanded.extend(zip(wins, parts))
+        window_iter = expanded
+    else:
+        window_iter = None
+    n_ok = n_err = 0
+    for item in (window_iter if window_iter is not None else regions):
+        if window_iter is not None:
+            reg, wm = item
+            rs = reg.region_string(args.prefix)
+        else:
+            reg = item
+            rs = reg.region_string(args.prefix)
+            try:
+                wm = extractor.extract(
+                    rs.rsplit(":", 1)[0], reg.start, reg.end
+                )
+            except Exception as e:
+                _warn(f"Warning: extraction failed for {rs}: {e}")
+                n_err += 1
+                continue
         out = os.path.join(args.out_dir, f"{_sanitize(rs)}.npz")
         np.savez_compressed(
             out,
@@ -1206,6 +1257,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gfa", action="store_true",
                    help="also write per-window variation-graph GFAs "
                         "(impg query -o gfa capability)")
+    p.add_argument("--split", type=int, default=None,
+                   help="extract each BED row once and split into windows "
+                        "of this many bp (one CIGAR walk per row)")
     p.set_defaults(func=cmd_extract)
 
     p = sub.add_parser("makewindows", help="fixed-width windows from a region")

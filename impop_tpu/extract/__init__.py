@@ -20,7 +20,7 @@ from typing import List, NamedTuple, Optional
 
 import numpy as np
 
-__all__ = ["WindowMatrix", "NativeExtractor", "load_library", "library_path"]
+__all__ = ["WindowMatrix", "NativeExtractor", "load_library", "library_path", "split_window_matrix"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _CPP_DIR = os.path.join(_REPO_ROOT, "cpp")
@@ -133,3 +133,36 @@ class NativeExtractor:
             return WindowMatrix(names, site_keys, site_pos, geno)
         finally:
             self._lib.ix_result_free(res)
+
+
+def split_window_matrix(wm: WindowMatrix, windows) -> List[WindowMatrix]:
+    """Slice one range-extracted WindowMatrix into per-window matrices.
+
+    A tiled scan (the common case: thousands of adjacent windows) only needs
+    ONE CIGAR walk per alignment for the whole range; each window is then a
+    site-column slice (coverage is already encoded per cell as -1).  This
+    removes the per-window re-walk the reference performs with one impg
+    process per window.
+
+    Args:
+      windows: iterable of (start, end) target intervals
+    """
+    out = []
+    pos = np.asarray(wm.site_pos)
+    # insertions ("pos:>ALT", empty ref) follow the extractor's boundary
+    # rule start < pos <= end (cpp/window.cc 'I' case); other variants use
+    # start <= pos < end
+    is_ins = np.asarray([k.split(":", 1)[1].startswith(">")
+                         for k in wm.site_keys], dtype=bool)
+    for start, end in windows:
+        in_win = np.where(
+            is_ins, (pos > start) & (pos <= end), (pos >= start) & (pos < end)
+        )
+        cols = np.nonzero(in_win)[0]
+        out.append(WindowMatrix(
+            names=wm.names,
+            site_keys=[wm.site_keys[c] for c in cols],
+            site_pos=pos[cols],
+            geno=wm.geno[:, cols] if len(cols) else wm.geno[:, :0],
+        ))
+    return out

@@ -176,7 +176,13 @@ class PyExtractor:
         for row, name in enumerate(names):
             hap = haps[name]
             for c, v in enumerate(all_vars):
-                if hap["cover_start"] <= v[0] < hap["cover_end"]:
+                # insertion columns (empty ref) sit between bases: covered
+                # iff cover_start < pos <= cover_end
+                if v[1] == "":
+                    covered = hap["cover_start"] < v[0] <= hap["cover_end"]
+                else:
+                    covered = hap["cover_start"] <= v[0] < hap["cover_end"]
+                if covered:
                     geno[row, c] = 0
             for v in hap["variants"]:
                 geno[row, col_of[v]] = 1

@@ -254,3 +254,36 @@ def test_extract_gfa_paths_spell_haplotypes(tmp_path):
         stored = seqs[hap.name]
         want = revcomp(stored) if hap.reverse else stored
         assert walked == want, hap.name
+
+
+def test_extract_split_equals_per_window(tmp_path):
+    """--split range extraction == independent per-window extraction."""
+    from impop_tpu.cli import main
+
+    sim = simulate(str(tmp_path), ref_len=4000, n_haps=8, n_snps=12, seed=6,
+                   span=(0, 4000))
+    bed_windows = tmp_path / "wins.bed"
+    bed_windows.write_text(
+        "".join(f"chr1\t{i*1000}\t{(i+1)*1000}\n" for i in range(4))
+    )
+    bed_range = tmp_path / "range.bed"
+    bed_range.write_text("chr1\t0\t4000\n")
+
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    main(["extract", "-b", str(bed_windows), "--paf", sim.paf_path,
+          "--fasta", sim.fasta_path, "--out-dir", str(a_dir),
+          "-P", "CHM13#0#", "--python"])
+    main(["extract", "-b", str(bed_range), "--paf", sim.paf_path,
+          "--fasta", sim.fasta_path, "--out-dir", str(b_dir),
+          "-P", "CHM13#0#", "--python", "--split", "1000"])
+
+    a_files = sorted(f.name for f in a_dir.glob("*.npz"))
+    b_files = sorted(f.name for f in b_dir.glob("*.npz"))
+    assert a_files == b_files
+    for name in a_files:
+        a = np.load(a_dir / name)
+        b = np.load(b_dir / name)
+        # same variant keys and genotypes (row sets may differ only if a
+        # haplotype doesn't overlap the subwindow; with full spans they match)
+        assert list(a["site_keys"]) == list(b["site_keys"]), name
+        np.testing.assert_array_equal(a["geno"], b["geno"])
