@@ -16,6 +16,7 @@
 #pragma once
 
 #include <cstdint>
+#include <fstream>
 #include <map>
 #include <string>
 #include <unordered_map>
@@ -44,6 +45,7 @@ class FastaReader {
   };
   std::string path_;
   std::unordered_map<std::string, Entry> index_;
+  mutable std::ifstream file_;  // persistent handle (single-threaded use)
   void build_or_load_index();
 };
 
@@ -65,6 +67,17 @@ struct PafRecord {
   int64_t target_start = 0;
   int64_t target_end = 0;
   std::vector<CigarOp> cigar;  // empty if no cg:Z tag
+
+  // CIGAR seek checkpoints every kCkptStride ops: (tpos, qpos) BEFORE op
+  // i*kCkptStride — lets a window walk start near its target coordinate
+  // instead of from target_start (whole-chromosome alignments have ~1e6
+  // ops; per-window re-walks would be O(range) each).
+  static constexpr int64_t kCkptStride = 64;
+  std::vector<int64_t> ckpt_tpos;
+  std::vector<int64_t> ckpt_qpos;
+  void build_checkpoints();
+  // largest checkpointed op index whose tpos <= start (0 if none)
+  size_t seek(int64_t start, int64_t* tpos, int64_t* qpos) const;
 };
 
 // Parses a PAF file (plain or gzip) and indexes records by target name.

@@ -19,6 +19,7 @@ FastaReader::FastaReader(const std::string& path) : path_(path) {
     throw std::runtime_error("FASTA not found: " + path_);
   }
   build_or_load_index();
+  file_.open(path_, std::ios::binary);
 }
 
 void FastaReader::build_or_load_index() {
@@ -93,7 +94,7 @@ std::string FastaReader::fetch(const std::string& name, int64_t start,
   if (start < 0) start = 0;
   if (end > e.length) end = e.length;
   if (start >= end) return "";
-  std::ifstream in(path_, std::ios::binary);
+  std::ifstream& in = file_;
   std::string out;
   out.reserve(static_cast<size_t>(end - start));
   int64_t pos = start;

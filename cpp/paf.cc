@@ -58,6 +58,42 @@ static bool parse_line(const std::string& line, PafRecord* rec) {
   return true;
 }
 
+void PafRecord::build_checkpoints() {
+  ckpt_tpos.clear();
+  ckpt_qpos.clear();
+  int64_t tpos = target_start, qpos = 0;
+  for (size_t i = 0; i < cigar.size(); ++i) {
+    if (i % static_cast<size_t>(kCkptStride) == 0) {
+      ckpt_tpos.push_back(tpos);
+      ckpt_qpos.push_back(qpos);
+    }
+    const CigarOp& op = cigar[i];
+    switch (op.op) {
+      case '=': case 'M': case 'X': tpos += op.len; qpos += op.len; break;
+      case 'I': case 'S': qpos += op.len; break;
+      case 'D': case 'N': tpos += op.len; break;
+      case 'H': break;
+      default: tpos += op.len; qpos += op.len; break;
+    }
+  }
+}
+
+size_t PafRecord::seek(int64_t start, int64_t* tpos, int64_t* qpos) const {
+  *tpos = target_start;
+  *qpos = 0;
+  if (ckpt_tpos.empty()) return 0;
+  // binary search: last checkpoint with tpos <= start
+  size_t lo = 0, hi = ckpt_tpos.size();
+  while (lo + 1 < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (ckpt_tpos[mid] <= start) lo = mid; else hi = mid;
+  }
+  if (ckpt_tpos[lo] > start) return 0;
+  *tpos = ckpt_tpos[lo];
+  *qpos = ckpt_qpos[lo];
+  return lo * static_cast<size_t>(kCkptStride);
+}
+
 PafIndex::PafIndex(const std::string& path) {
   gzFile gz = gzopen(path.c_str(), "rb");  // handles plain files too
   if (!gz) {
@@ -81,6 +117,7 @@ PafIndex::PafIndex(const std::string& path) {
     if (line.empty()) continue;
     PafRecord rec;
     if (parse_line(line, &rec)) {
+      rec.build_checkpoints();
       records_.push_back(std::move(rec));
     }
   }

@@ -77,21 +77,6 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
   for (const PafRecord* rec : paf_.overlapping(target, start, end)) {
     if (rec->cigar.empty()) continue;  // need cg:Z for projection
 
-    // Query sequence in alignment orientation (walked forward alongside
-    // the target). Missing query sequences degrade M ops to "no variant"
-    // and X alts to 'N'.
-    std::string qseq;
-    bool have_q = fasta_.has(rec->query_name);
-    if (have_q) {
-      qseq = fasta_.fetch(rec->query_name, rec->query_start, rec->query_end);
-      if (rec->reverse) qseq = revcomp(qseq);
-    }
-    auto query_base = [&](int64_t qi) -> char {
-      if (!have_q || qi < 0 || qi >= static_cast<int64_t>(qseq.size()))
-        return 'N';
-      return static_cast<char>(std::toupper(qseq[static_cast<size_t>(qi)]));
-    };
-
     // Row identity mirrors impg's "contig:qstart-qend" naming
     // (h-fst.py:24-26 shows the consumed form).
     std::string row_name = rec->query_name + ":" +
@@ -101,9 +86,58 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
 
     int64_t tpos = rec->target_start;
     int64_t qi = 0;
-    hap.cover_start = std::min(hap.cover_start, std::max(start, tpos));
+    hap.cover_start =
+        std::min(hap.cover_start, std::max(start, rec->target_start));
 
-    for (const CigarOp& op : rec->cigar) {
+    size_t first_op = rec->seek(start, &tpos, &qi);
+
+    // Pass 1 (no sequence): find the query extent [q_lo, q_hi) this
+    // window's walk touches, so only that slice is fetched — fetching the
+    // whole contig per window is O(contig) per record per window.
+    int64_t q_lo = qi;
+    int64_t q_hi = qi;
+    {
+      int64_t t2 = tpos, q2 = qi;
+      for (size_t oi = first_op; oi < rec->cigar.size(); ++oi) {
+        const CigarOp& op = rec->cigar[oi];
+        if (t2 >= end && op.op != 'I') break;
+        switch (op.op) {
+          case '=': case 'M': case 'X': t2 += op.len; q2 += op.len; break;
+          case 'I': case 'S': q2 += op.len; break;
+          case 'D': case 'N': t2 += op.len; break;
+          case 'H': break;
+          default: t2 += op.len; q2 += op.len; break;
+        }
+      }
+      q_hi = q2;
+    }
+
+    // Query slice in alignment orientation (walked forward alongside the
+    // target). Missing query sequences degrade M ops to "no variant" and
+    // X alts to 'N'.
+    std::string qslice;
+    bool have_q = fasta_.has(rec->query_name);
+    if (have_q && q_hi > q_lo) {
+      if (!rec->reverse) {
+        qslice = fasta_.fetch(rec->query_name, rec->query_start + q_lo,
+                              rec->query_start + q_hi);
+      } else {
+        // qi indexes the reverse complement of [query_start, query_end);
+        // RC index qi maps to original position query_end - 1 - qi
+        qslice = revcomp(fasta_.fetch(rec->query_name,
+                                      rec->query_end - q_hi,
+                                      rec->query_end - q_lo));
+      }
+    }
+    auto query_base = [&](int64_t q) -> char {
+      int64_t off = q - q_lo;
+      if (!have_q || off < 0 || off >= static_cast<int64_t>(qslice.size()))
+        return 'N';
+      return static_cast<char>(
+          std::toupper(qslice[static_cast<size_t>(off)]));
+    };
+    for (size_t oi = first_op; oi < rec->cigar.size(); ++oi) {
+      const CigarOp& op = rec->cigar[oi];
       if (tpos >= end && op.op != 'I') break;
       switch (op.op) {
         case '=':
@@ -144,9 +178,11 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
         case 'I': {
           if (tpos > start && tpos <= end) {
             std::string alt;
-            if (have_q) {
-              alt = qseq.substr(static_cast<size_t>(qi),
-                                static_cast<size_t>(op.len));
+            int64_t off = qi - q_lo;
+            if (have_q && off >= 0 &&
+                off + op.len <= static_cast<int64_t>(qslice.size())) {
+              alt = qslice.substr(static_cast<size_t>(off),
+                                  static_cast<size_t>(op.len));
               for (char& c : alt) c = std::toupper(c);
             } else {
               alt = "<INS" + std::to_string(op.len) + ">";
