@@ -141,9 +141,10 @@ class GenoSimSource(SimSource):
     def __init__(self, round_digits: Optional[int],
                  geno_dir: Optional[str] = None,
                  paf: Optional[str] = None, fasta: Optional[str] = None,
-                 use_native: bool = True):
+                 use_native: bool = True, gfa_dir: Optional[str] = None):
         self.round_digits = round_digits
-        self.geno_src = GenoSource(geno_dir) if geno_dir else None
+        self.geno_src = (GenoSource(geno_dir) if geno_dir
+                         else GfaDirSource(gfa_dir) if gfa_dir else None)
         self.extractor = None
         if paf and fasta:
             self.extractor = _open_extractor(paf, fasta, use_native)
@@ -205,6 +206,8 @@ def _make_sim_source(args) -> SimSource:
         return DirSimSource(args.sim_dir, args.round)
     if getattr(args, "geno_dir", None):
         return GenoSimSource(args.round, geno_dir=args.geno_dir)
+    if getattr(args, "gfa_dir", None):
+        return GenoSimSource(args.round, gfa_dir=args.gfa_dir)
     if getattr(args, "paf", None):
         if getattr(args, "fasta", None):
             return GenoSimSource(args.round, paf=args.paf, fasta=args.fasta)
@@ -233,6 +236,29 @@ class GenoSource:
                 names = [str(x) for x in data["names"]]
                 return data["geno"].astype(np.int8), names
         raise WindowError(f"no allele tile for region {region} "
+                          f"in {self.directory}")
+
+
+class GfaDirSource:
+    """Per-window variation graphs: ``<region>.gfa``, ingested through the
+    graph path (impg query -o gfa → odgi → povu equivalents,
+    run_pica2_odgi.sh:74-96) into the same allele tiles as GenoSource."""
+
+    def __init__(self, directory: str, ref_path: Optional[str] = None):
+        self.directory = directory
+        self.ref_path = ref_path
+
+    def load(self, region: str) -> Tuple[np.ndarray, List[str]]:
+        from impop_tpu.extract.gfa import alleles_from_gfa, read_gfa
+
+        for cand in (f"{region}.gfa", f"{_sanitize(region)}.gfa"):
+            path = os.path.join(self.directory, cand)
+            if os.path.exists(path):
+                wm, _ = alleles_from_gfa(read_gfa(path),
+                                         ref_path=self.ref_path,
+                                         include_ref_row=True)
+                return wm.geno, wm.names
+        raise WindowError(f"no window GFA for region {region} "
                           f"in {self.directory}")
 
 
@@ -452,7 +478,10 @@ def cmd_tajd(args) -> int:
     from impop_tpu.runtime.batcher import pad_batch_count
 
     regions = read_bed(args.bed)
-    geno_src = GenoSource(args.geno_dir)
+    if not args.geno_dir and not getattr(args, "gfa_dir", None):
+        raise SystemExit("error: provide --geno-dir or --gfa-dir")
+    geno_src = (GenoSource(args.geno_dir) if args.geno_dir
+                else GfaDirSource(args.gfa_dir))
     sample_list = read_panel_file(args.samples) if args.samples else None
 
     kept: List[Region] = []
@@ -642,11 +671,14 @@ def cmd_scan(args) -> int:
             args.output = f"{args.output}.part{proc_idx}"
         if args.journal:
             args.journal = f"{args.journal}.part{proc_idx}"
-    geno_src = (GenoSource(args.geno_dir) if args.geno_dir else None)
+    geno_src = (GenoSource(args.geno_dir) if args.geno_dir
+                else GfaDirSource(args.gfa_dir) if getattr(args, "gfa_dir", None)
+                else None)
     extractor = (_open_extractor(args.paf, args.fasta)
                  if args.paf and args.fasta else None)
     if geno_src is None and extractor is None:
-        raise SystemExit("error: provide --geno-dir or --paf + --fasta")
+        raise SystemExit("error: provide --geno-dir, --gfa-dir, or "
+                         "--paf + --fasta")
 
     panel_files = sorted(args.panel or [])
     panel_names = [os.path.basename(p).split(".")[-1] for p in panel_files]
@@ -988,9 +1020,13 @@ def _write_window_vcf(path: str, chrom: str, wm) -> None:
     key; the non-header line count is the segregating-site count S.  Adds
     per-haplotype GT columns (0 ref / 1 alt / . uncovered), which povu does
     not provide."""
-    with open(path, "w") as fh:
+    import contextlib
+
+    ctx = (open(path, "w") if isinstance(path, str)
+           else contextlib.nullcontext(path))
+    with ctx as fh:
         fh.write("##fileformat=VCFv4.2\n")
-        fh.write(f"##source=impop-tpu extract\n")
+        fh.write("##source=impop-tpu extract\n")
         cols = "\t".join(n.replace("\t", "_") for n in wm.names)
         fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
                  + cols + "\n")
@@ -1083,6 +1119,41 @@ def cmd_extract(args) -> int:
     return 0 if n_ok or not n_err else 1
 
 
+def cmd_gfasim(args) -> int:
+    """Variation-graph path similarity — the ``odgi similarity`` capability
+    (run_pica2_odgi.sh:96): emit a TSV of length-weighted overlap metrics
+    for every path pair, with the ``group.a/group.b/estimated.identity``
+    columns pica2 requires (pica2.py:22-27), so ``gfasim | pi --sim-dir``
+    reproduces the reference's graph-path π pipeline."""
+    from impop_tpu.extract.gfa import read_gfa, similarity_from_gfa
+
+    header, rows = similarity_from_gfa(read_gfa(args.gfa))
+    fh = _out_stream(args.output)
+    fh.write("\t".join(header) + "\n")
+    for row in rows:
+        fh.write("\t".join(row) + "\n")
+    if args.output:
+        fh.close()
+    return 0
+
+
+def cmd_gfa2vcf(args) -> int:
+    """Variation graph → VCF — the ``povu gfa2vcf --stdout <ref>``
+    capability (run_tajd.sh:148): bubbles vs the reference path become VCF
+    records; the non-header line count is the segregating-site count S."""
+    from impop_tpu.extract.gfa import alleles_from_gfa, read_gfa
+
+    wm, ref_name = alleles_from_gfa(read_gfa(args.gfa), ref_path=args.ref)
+    chrom = ref_name.rsplit(":", 1)[0] if ":" in ref_name else ref_name
+    _write_window_vcf(args.output or sys.stdout, chrom, wm)
+    if args.npz:
+        np.savez_compressed(args.npz, geno=wm.geno,
+                            names=np.asarray(wm.names),
+                            site_pos=np.asarray(wm.site_pos),
+                            site_keys=np.asarray(wm.site_keys))
+    return 0
+
+
 # --------------------------------------------------------------- utilities
 
 
@@ -1120,6 +1191,8 @@ def _add_sim_args(p):
     p.add_argument("--fasta", help="FASTA sequence store "
                                    "(native extraction with --paf)")
     p.add_argument("--agc", help="AGC archive (external impg with --paf)")
+    p.add_argument("--gfa-dir", help="directory of per-window variation "
+                                     "graphs (<region>.gfa) to ingest")
 
 
 def _add_common(p):
@@ -1166,8 +1239,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("tajd", help="segregating sites + pi + Tajima's D")
     _add_common(p)
-    p.add_argument("--geno-dir", required=True,
+    p.add_argument("--geno-dir",
                    help="directory of per-window allele tiles (.npz)")
+    p.add_argument("--gfa-dir",
+                   help="directory of per-window variation graphs (.gfa)")
     p.add_argument("-l", "--length", type=int)
     p.add_argument("-s", "--samples", help="sample list file")
     p.set_defaults(func=cmd_tajd)
@@ -1187,7 +1262,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("panels-tajd", help="5 continental panel Tajima runs")
     _add_common(p)
-    p.add_argument("--geno-dir", required=True)
+    p.add_argument("--geno-dir")
+    p.add_argument("--gfa-dir")
     p.add_argument("--metadata-dir", required=True)
     p.add_argument("-l", "--length", type=int)
     p.set_defaults(func=cmd_panels_tajd)
@@ -1210,6 +1286,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("scan", help="fused pi+Fst+TajD scan with resume")
     p.add_argument("-b", "--bed", required=True)
     p.add_argument("--geno-dir", help="directory of per-window .npz tiles")
+    p.add_argument("--gfa-dir", help="directory of per-window .gfa graphs")
     p.add_argument("--paf"); p.add_argument("--fasta")
     p.add_argument("--panel", action="append", default=[],
                    help="panel list file (repeatable, e.g. metadata/agc.EUR)")
@@ -1262,6 +1339,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "of this many bp (one CIGAR walk per row)")
     p.set_defaults(func=cmd_extract)
 
+    p = sub.add_parser("gfasim",
+                       help="path similarity TSV from a variation graph "
+                            "(odgi similarity capability)")
+    p.add_argument("gfa", help="GFA v1/v1.1 file")
+    p.add_argument("-o", "--output", help="output TSV (default: stdout)")
+    p.set_defaults(func=cmd_gfasim)
+
+    p = sub.add_parser("gfa2vcf",
+                       help="variants vs reference path from a variation "
+                            "graph (povu gfa2vcf capability)")
+    p.add_argument("gfa", help="GFA v1/v1.1 file")
+    p.add_argument("--ref", help="reference path name (default: "
+                                 "CHM13-prefixed or coordinate-named path)")
+    p.add_argument("-o", "--output", help="output VCF (default: stdout)")
+    p.add_argument("--npz", help="also write the allele tile as .npz")
+    p.set_defaults(func=cmd_gfa2vcf)
+
     p = sub.add_parser("makewindows", help="fixed-width windows from a region")
     p.add_argument("--bed", help="BED of base intervals")
     p.add_argument("--region", help="chrom<sep>start<sep>end string")
@@ -1289,6 +1383,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    # Honour an explicit platform override (e.g. IMPOP_TPU_PLATFORM=cpu for
+    # host-only runs).  Site configuration may pin jax.config.jax_platforms
+    # at interpreter start, which beats the JAX_PLATFORMS env var — so this
+    # must be a config update, applied before any backend initialisation.
+    plat = os.environ.get("IMPOP_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     return args.func(args)
 

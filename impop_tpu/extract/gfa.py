@@ -1,25 +1,54 @@
-"""Window variation graph export (GFA v1).
+"""Window variation graph export and import (GFA v1).
 
 The reference's graph path obtains a window GFA from ``impg query -o gfa``
 and normalises it with odgi (run_tajd.sh:126-144, run_pica2_odgi.sh:74-83)
-purely as an intermediate for variant counting and path similarity.  Here the
-graph is *derived from* the extracted variant matrix: the reference backbone
-is split at variant boundaries into segments, each variant contributes an
-alternate segment (insertions/substitutions) or a skipping edge (deletions),
-and every haplotype's walk through the graph is emitted as a GFA path — so
-downstream graph tooling (odgi, vg) can consume our windows directly.
+purely as an intermediate for variant counting (``povu gfa2vcf``,
+run_tajd.sh:148) and path similarity (``odgi similarity``,
+run_pica2_odgi.sh:96).  This module covers both directions:
 
-Construction: walks are generated per haplotype by scanning the selected
-(non-overlapping, position-sorted) variants; segments and links are exactly
-the nodes/adjacencies those walks use.
+* **Export** (:func:`window_to_gfa`): the graph is *derived from* the
+  extracted variant matrix — the reference backbone is split at variant
+  boundaries into segments, each variant contributes an alternate segment
+  (insertions/substitutions) or a skipping edge (deletions), and every
+  haplotype's walk is emitted as a GFA path, so downstream graph tooling
+  (odgi, vg) can consume our windows directly.
+
+* **Import** (:func:`read_gfa` + :func:`alleles_from_gfa` +
+  :func:`similarity_from_gfa`): an existing window GFA (e.g. produced by
+  ``impg query -o gfa`` | ``odgi view``) is ingested back into the engine's
+  native allele-matrix form.  ``alleles_from_gfa`` replaces the
+  ``povu gfa2vcf`` capability (bubbles vs the reference path become
+  ``pos:ref>alt`` variant columns; S = column count) and
+  ``similarity_from_gfa`` replaces ``odgi similarity`` (length-weighted
+  set-overlap metrics over path segment multisets, emitted with the
+  ``group.a/group.b/estimated.identity`` header pica2.py:22-27 requires).
+
+Variant calling from paths is anchor-based, not a port of povu's bubble
+finder: segments that occur exactly once in the reference walk and once in a
+haplotype walk are anchors; the longest increasing anchor chain aligns the
+two walks, and any differing sequence between consecutive anchors is one
+variant site after VCF-style prefix/suffix trimming.  On bubble graphs (one
+branch per site) this reproduces the exact variant set the matrix exporter
+wrote — tests assert the round trip.
 """
 from __future__ import annotations
 
+from bisect import bisect_left
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
+
+import numpy as np
 
 from impop_tpu.extract import WindowMatrix
 
-__all__ = ["window_to_gfa"]
+__all__ = [
+    "window_to_gfa",
+    "GfaGraph",
+    "read_gfa",
+    "path_segment_matrix",
+    "similarity_from_gfa",
+    "alleles_from_gfa",
+]
 
 
 def _parse_site(key: str) -> Tuple[int, str, str]:
@@ -123,3 +152,290 @@ def window_to_gfa(
         if w
     ]
     return "\n".join(["H\tVN:Z:1.0"] + segments + links + paths) + "\n"
+
+
+# ------------------------------------------------------------------ import
+
+_COMP = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
+
+
+def _revcomp(seq: str) -> str:
+    return seq.translate(_COMP)[::-1]
+
+
+@dataclass
+class GfaGraph:
+    """Parsed GFA v1/v1.1 graph: segment sequences plus one oriented walk
+    per path (``P`` lines) or walk (``W`` lines)."""
+
+    seg_seq: Dict[str, str] = field(default_factory=dict)
+    paths: Dict[str, List[Tuple[str, str]]] = field(default_factory=dict)
+    links: List[Tuple[str, str, str, str]] = field(default_factory=list)
+
+    def path_names(self) -> List[str]:
+        return list(self.paths)
+
+    def step_seq(self, step: Tuple[str, str]) -> str:
+        seg, orient = step
+        seq = self.seg_seq.get(seg, "")
+        return _revcomp(seq) if orient == "-" else seq
+
+    def path_length(self, name: str) -> int:
+        return sum(len(self.seg_seq.get(s, "")) for s, _ in self.paths[name])
+
+
+def _parse_walk_steps(text: str) -> List[Tuple[str, str]]:
+    """``W``-line walk string ``>s1<s2…`` → [(seg, orient)]."""
+    steps: List[Tuple[str, str]] = []
+    i, n = 0, len(text)
+    while i < n:
+        orient = "+" if text[i] == ">" else "-"
+        j = i + 1
+        while j < n and text[j] not in "><":
+            j += 1
+        steps.append((text[i + 1:j], orient))
+        i = j
+    return steps
+
+
+def read_gfa(source: str) -> GfaGraph:
+    """Parse a GFA v1 string or file path.
+
+    Handles ``S`` (sequence or ``*``), ``L``, ``P`` (``seg+,seg-`` lists)
+    and GFA 1.1 ``W`` walk lines (odgi emits either depending on flags).
+    """
+    if "\n" not in source and "\t" not in source:
+        with open(source) as fh:
+            text = fh.read()
+    else:
+        text = source
+    g = GfaGraph()
+    for line in text.splitlines():
+        if not line or line[0] == "#":
+            continue
+        fields = line.rstrip("\n").split("\t")
+        tag = fields[0]
+        if tag == "S" and len(fields) >= 3:
+            g.seg_seq[fields[1]] = "" if fields[2] == "*" else fields[2]
+        elif tag == "L" and len(fields) >= 5:
+            g.links.append((fields[1], fields[2], fields[3], fields[4]))
+        elif tag == "P" and len(fields) >= 3:
+            steps = []
+            if fields[2] and fields[2] != "*":
+                for tok in fields[2].split(","):
+                    steps.append((tok[:-1], tok[-1]))
+            g.paths[fields[1]] = steps
+        elif tag == "W" and len(fields) >= 7:
+            # W sample hap seqid start end walk  (PanSN-style path name)
+            name = f"{fields[1]}#{fields[2]}#{fields[3]}"
+            g.paths[name] = _parse_walk_steps(fields[6])
+    return g
+
+
+def path_segment_matrix(
+    g: GfaGraph,
+) -> Tuple[np.ndarray, np.ndarray, List[str], List[str]]:
+    """Length-weighted path×segment occupancy.
+
+    Returns ``(counts [P, K] int32, seg_len [K] int64, path_names,
+    seg_ids)`` — the dense operand behind :func:`similarity_from_gfa`; also
+    usable directly as a feature matrix on device.
+    """
+    seg_ids = sorted(g.seg_seq)
+    col = {s: i for i, s in enumerate(seg_ids)}
+    names = list(g.paths)
+    counts = np.zeros((len(names), len(seg_ids)), dtype=np.int32)
+    for r, name in enumerate(names):
+        for seg, _ in g.paths[name]:
+            if seg in col:
+                counts[r, col[seg]] += 1
+    seg_len = np.asarray([len(g.seg_seq[s]) for s in seg_ids], dtype=np.int64)
+    return counts, seg_len, names, seg_ids
+
+
+def similarity_from_gfa(g: GfaGraph) -> Tuple[List[str], List[List[str]]]:
+    """``odgi similarity`` capability: all unordered path pairs with
+    length-weighted overlap metrics (run_pica2_odgi.sh:96).
+
+    The length-weighted multiset intersection is computed as a stack of
+    binary-layer matmuls (``min(a,b) = Σ_t [a>t]·[b>t]``), so the same
+    formulation runs on the MXU for large path sets.  ``estimated.identity``
+    is the Dice coefficient ``2·∩ / (len_a + len_b)`` — the fraction of both
+    paths' bases that lie on shared nodes, the graph analogue of alignment
+    identity — which is what pica2 consumes downstream (pica2.py:22-27).
+    """
+    counts, seg_len, names, _ = path_segment_matrix(g)
+    w = seg_len.astype(np.float64)
+    inter = np.zeros((len(names), len(names)), dtype=np.float64)
+    max_count = int(counts.max(initial=0))
+    for t in range(max_count):
+        layer = (counts > t).astype(np.float64)
+        inter += (layer * w) @ layer.T
+    lengths = (counts.astype(np.float64) * w).sum(axis=1)
+    union = lengths[:, None] + lengths[None, :] - inter
+    denom_d = lengths[:, None] + lengths[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jacc = np.where(union > 0, inter / union, 1.0)
+        dice = np.where(denom_d > 0, 2.0 * inter / denom_d, 1.0)
+        norms = np.sqrt((counts.astype(np.float64) ** 2 * w).sum(axis=1))
+        cos_den = norms[:, None] * norms[None, :]
+        # cosine over length-weighted count vectors: <a,b>_w approximated by
+        # the same layered intersection (exact for 0/1 counts)
+        cosine = np.where(cos_den > 0, inter / cos_den, 1.0)
+    header = [
+        "group.a", "group.b", "group.a.length", "group.b.length",
+        "intersection", "jaccard.similarity", "cosine.similarity",
+        "dice.similarity", "estimated.difference", "estimated.identity",
+    ]
+    rows: List[List[str]] = []
+    for i in range(len(names)):
+        for j in range(i, len(names)):
+            rows.append([
+                names[i], names[j],
+                f"{int(lengths[i])}", f"{int(lengths[j])}",
+                f"{inter[i, j]:.10g}", f"{jacc[i, j]:.10f}",
+                f"{cosine[i, j]:.10f}", f"{dice[i, j]:.10f}",
+                f"{1.0 - dice[i, j]:.10f}", f"{dice[i, j]:.10f}",
+            ])
+    return header, rows
+
+
+def _walk_anchor_chain(
+    ref_steps: List[Tuple[str, str]],
+    qry_steps: List[Tuple[str, str]],
+) -> List[Tuple[int, int]]:
+    """Longest increasing chain of (ref_idx, qry_idx) over steps whose
+    (segment, orientation) token occurs exactly once in each walk."""
+    ref_count: Dict[Tuple[str, str], int] = {}
+    for st in ref_steps:
+        ref_count[st] = ref_count.get(st, 0) + 1
+    qry_count: Dict[Tuple[str, str], int] = {}
+    for st in qry_steps:
+        qry_count[st] = qry_count.get(st, 0) + 1
+    ref_idx = {st: i for i, st in enumerate(ref_steps) if ref_count[st] == 1}
+    cand: List[Tuple[int, int]] = []  # (ref_i, qry_j), in qry order
+    for j, st in enumerate(qry_steps):
+        if qry_count[st] == 1 and st in ref_idx:
+            cand.append((ref_idx[st], j))
+    # patience LIS on ref index (strictly increasing), O(k log k)
+    tails: List[int] = []
+    tails_pos: List[int] = []
+    back: List[int] = [-1] * len(cand)
+    for k, (ri, _) in enumerate(cand):
+        p = bisect_left(tails, ri)
+        if p == len(tails):
+            tails.append(ri)
+            tails_pos.append(k)
+        else:
+            tails[p] = ri
+            tails_pos[p] = k
+        back[k] = tails_pos[p - 1] if p > 0 else -1
+    chain: List[Tuple[int, int]] = []
+    k = tails_pos[-1] if tails_pos else -1
+    while k >= 0:
+        chain.append(cand[k])
+        k = back[k]
+    chain.reverse()
+    return chain
+
+
+def _trim_variant(pos: int, ref: str, alt: str) -> Optional[Tuple[int, str, str]]:
+    """VCF-style normalization: strip shared prefix then suffix."""
+    p = 0
+    while p < len(ref) and p < len(alt) and ref[p] == alt[p]:
+        p += 1
+    ref, alt, pos = ref[p:], alt[p:], pos + p
+    s = 0
+    while s < len(ref) and s < len(alt) and ref[len(ref) - 1 - s] == alt[len(alt) - 1 - s]:
+        s += 1
+    if s:
+        ref, alt = ref[:len(ref) - s], alt[:len(alt) - s]
+    if not ref and not alt:
+        return None
+    return pos, ref, alt
+
+
+def _guess_ref_path(g: GfaGraph, prefix: str = "CHM13") -> str:
+    for name in g.paths:
+        if name.startswith(prefix):
+            return name
+    for name in g.paths:
+        if ":" in name and "-" in name.rsplit(":", 1)[-1]:
+            return name
+    return next(iter(g.paths))
+
+
+def alleles_from_gfa(
+    g: GfaGraph,
+    ref_path: Optional[str] = None,
+    base_pos: Optional[int] = None,
+    include_ref_row: bool = False,
+) -> Tuple[WindowMatrix, str]:
+    """``povu gfa2vcf`` capability: decompose a window graph into variant
+    columns vs the reference path (run_tajd.sh:148, doc/how_tjd.md:13-17).
+
+    Returns the engine-native :class:`WindowMatrix` (names sorted, sites
+    sorted by ``(pos, ref, alt)``, geno 1 carrier / 0 reference) plus the
+    reference path name.  ``base_pos`` defaults to the start parsed from a
+    ``name:start-end`` reference path name, else 0.  ``include_ref_row``
+    adds the backbone path itself as an all-reference haplotype row —
+    matching the extraction layer's tiles and ``impg similarity``, which
+    both include the reference sequence as a group.
+    """
+    if not g.paths:
+        raise ValueError("GFA contains no paths/walks")
+    ref_name = ref_path if ref_path is not None else _guess_ref_path(g)
+    if ref_name not in g.paths:
+        raise ValueError(f"reference path {ref_name!r} not in GFA")
+    if base_pos is None:
+        base_pos = 0
+        tail = ref_name.rsplit(":", 1)
+        if len(tail) == 2 and "-" in tail[1]:
+            a = tail[1].split("-", 1)[0]
+            if a.isdigit():
+                base_pos = int(a)
+
+    ref_steps = g.paths[ref_name]
+    step_start = []  # genomic start of each ref step
+    pos = base_pos
+    for st in ref_steps:
+        step_start.append(pos)
+        pos += len(g.seg_seq.get(st[0], ""))
+
+    def ref_span_seq(i0: int, i1: int) -> str:
+        return "".join(g.step_seq(st) for st in ref_steps[i0:i1])
+
+    hap_names = sorted(n for n in g.paths if n != ref_name)
+    if include_ref_row:
+        hap_names = sorted(hap_names + [ref_name])
+    variants: Dict[Tuple[int, str, str], set] = {}
+    for name in hap_names:
+        if name == ref_name:
+            continue
+        qry = g.paths[name]
+        chain = _walk_anchor_chain(ref_steps, qry)
+        # virtual anchors bracket the walks
+        bounds = [(-1, -1)] + chain + [(len(ref_steps), len(qry))]
+        for (ri0, qi0), (ri1, qi1) in zip(bounds, bounds[1:]):
+            if ri1 <= ri0 + 1 and qi1 <= qi0 + 1:
+                continue  # adjacent anchors, nothing between
+            vpos = (step_start[ri0] + len(g.step_seq(ref_steps[ri0]))
+                    if ri0 >= 0 else base_pos)
+            ref_sub = ref_span_seq(ri0 + 1, ri1)
+            qry_sub = "".join(g.step_seq(st) for st in qry[qi0 + 1:qi1])
+            if ref_sub == qry_sub:
+                continue
+            var = _trim_variant(vpos, ref_sub, qry_sub)
+            if var is None:
+                continue
+            variants.setdefault(var, set()).add(name)
+
+    all_vars = sorted(variants)
+    row_of = {n: r for r, n in enumerate(hap_names)}
+    geno = np.zeros((len(hap_names), len(all_vars)), dtype=np.int8)
+    for c, var in enumerate(all_vars):
+        for name in variants[var]:
+            geno[row_of[name], c] = 1
+    site_pos = np.asarray([v[0] for v in all_vars], dtype=np.int64)
+    site_keys = [f"{p}:{r}>{a}" for p, r, a in all_vars]
+    return WindowMatrix(hap_names, site_keys, site_pos, geno), ref_name
