@@ -151,12 +151,17 @@ def greedy_group_panels(
     # --- seed determination: chunked scan over row order -----------------
     # The seed recurrence s_i = ¬∃ seed j<i with link(j,i) has sequential
     # depth up to the link-graph chain length (can be ~N on real data, so a
-    # converge-until-done peel is unbounded).  Instead: fixed N/K chunks in
-    # row order; absorption *from earlier chunks* is one [P,N]·[N,K] matvec
-    # against the seeds found so far (elink is strictly lower-triangular, so
-    # not-yet-decided later rows contribute nothing), and the K in-chunk
-    # dependencies resolve in a statically-unrolled micro-loop on [P,K]
-    # flags.  Deterministic N/K-step cost, no data-dependent while_loop.
+    # global converge-until-done peel is unbounded over expensive [P,N]@[N,N]
+    # rounds).  Instead: fixed N/K chunks in row order; absorption *from
+    # earlier chunks* is one [P,N]·[N,K] matvec against the seeds found so
+    # far (elink is strictly lower-triangular, so not-yet-decided later rows
+    # contribute nothing), and the K in-chunk dependencies resolve by
+    # frontier peeling on [P,K] flags with [K,K] operands: each round
+    # decides every row whose earlier in-chunk neighbours are all decided.
+    # Rounds = in-chunk dependency depth (2-4 on identity data, K worst
+    # case), and each round costs two tiny [P,K]@[K,K] matmuls — replacing a
+    # statically-unrolled K-step scalar micro-loop that was latency-bound
+    # (measured 15 ms -> ~2 ms per 40-window batch on v5e).
     assert n_cap % block == 0
     n_chunks = n_cap // block
 
@@ -165,21 +170,38 @@ def greedy_group_panels(
         cols = jax.lax.dynamic_slice(
             elink_f, (0, c * block), (n_cap, block)
         )  # [N, K] — earlier-row links into this chunk
-        absorbed = jax.lax.dot_general(
+        absorbed_ext = jax.lax.dot_general(
             seeds_f, cols, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) > 0.5                                        # [P, K]
-        in_chunk = jax.lax.dynamic_slice(
-            elink, (c * block, c * block), (block, block)
-        )                                              # [K, K], r < r'
+        in_chunk_f = jax.lax.dynamic_slice(
+            elink_f, (c * block, c * block), (block, block)
+        )                                              # [K, K] f32, r < r'
         pm_c = jax.lax.dynamic_slice(pm, (0, c * block), (p_count, block))
 
-        seed_cols = []
-        for r in range(block):
-            s_r = pm_c[:, r] & ~absorbed[:, r]
-            seed_cols.append(s_r)
-            absorbed = absorbed | (s_r[:, None] & in_chunk[r][None, :])
-        seed_c = jnp.stack(seed_cols, axis=1)
+        def any_in_chunk(flag):  # [P,K] bool -> [P,K]: ∃ earlier j, flag[j]
+            return jax.lax.dot_general(
+                flag.astype(jnp.float32), in_chunk_f,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) > 0.5
+
+        def peel_cond(state):
+            decided, _ = state
+            return jnp.any(pm_c & ~decided)
+
+        def peel_body(state):
+            decided, seed_c = state
+            blocked = any_in_chunk(pm_c & ~decided)
+            frontier = pm_c & ~decided & ~blocked
+            absorbed = absorbed_ext | any_in_chunk(seed_c)
+            new_seed = frontier & ~absorbed
+            return decided | frontier, seed_c | new_seed
+
+        _, seed_c = jax.lax.while_loop(
+            peel_cond, peel_body,
+            (~pm_c, jnp.zeros_like(pm_c)),
+        )
         return jax.lax.dynamic_update_slice(seeds, seed_c, (0, c * block))
 
     seed = jax.lax.fori_loop(
