@@ -20,13 +20,15 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+sys.path.insert(0, os.path.join(_HERE, "tests"))
 
 N_HAP = 466          # HPRC r2 assemblies + CHM13 (doc/where_hprc_data.md)
 CAP_N = 512

@@ -603,6 +603,22 @@ def cmd_afs(args) -> int:
 # --------------------------------------------------------------- batches
 
 
+def _panel_label(path: str) -> str:
+    """Panel column label from a panel-list filename.
+
+    Reference panel lists are named ``agc.EUR`` (run_tajd_panels.sh:60-66) —
+    the group is the last dot-component.  For conventionally-named files
+    (``panA.txt``) the last component is a generic extension, so use the stem.
+    """
+    base = os.path.basename(path)
+    parts = base.split(".")
+    if len(parts) > 1 and parts[-1].lower() not in (
+        "txt", "list", "tsv", "csv", "samples"
+    ):
+        return parts[-1]
+    return parts[0]
+
+
 def cmd_panels_hfst(args) -> int:
     """All 10 unordered continental pairs (run_h_fst_panels.sh:60-71)."""
     pairs = [("EUR", "AFR"), ("EAS", "AFR"), ("SAS", "AFR"), ("AMR", "AFR"),
@@ -681,7 +697,7 @@ def cmd_scan(args) -> int:
                          "--paf + --fasta")
 
     panel_files = sorted(args.panel or [])
-    panel_names = [os.path.basename(p).split(".")[-1] for p in panel_files]
+    panel_names = [_panel_label(p) for p in panel_files]
     panel_lists = [read_panel_file(p) for p in panel_files]
     p_count = max(1, len(panel_lists))
     pair_list = [(i, j) for i in range(len(panel_lists))

@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "greedy_group",
@@ -209,39 +210,38 @@ def greedy_group_panels(
     )
 
     # --- argmin of {j < i : seed_p[j] & elink[j, i]} without [P, N, N] ---
-    n_blocks = n_cap // block
-    eb = elink_f.reshape(n_blocks, block, n_cap)        # [B, K, N]
-    seeds_b = seed.reshape(pm.shape[0], n_blocks, block)  # [P, B, K]
-
-    # which j-blocks contain a candidate for (p, i)
-    hits_b = jnp.einsum(
-        "pbk,bkn->pbn", seeds_b.astype(jnp.float32), eb,
-        preferred_element_type=jnp.float32,
-    ) > 0.5                                              # [P, B, N]
-    block_ids = jnp.arange(n_blocks, dtype=jnp.int32)
-    first_block = jnp.min(
-        jnp.where(hits_b, block_ids[None, :, None], n_blocks), axis=1
-    )                                                    # [P, N]
-    fb = jnp.minimum(first_block, n_blocks - 1)
-
-    # gather the winning block's slices (everything [P, N, K] — small):
-    #   eg[p, i, k] = eb[fb[p,i], k, i]   (elink rows of the winning block)
-    #   sg[p, i, k] = seeds_b[p, fb[p,i], k]
-    p_count = pm.shape[0]
-    et = jnp.transpose(eb, (2, 0, 1))                    # [N, B, K]
-    eg = jnp.take_along_axis(
-        jnp.broadcast_to(et[None], (p_count,) + et.shape),
-        fb[:, :, None, None],
-        axis=2,
-    )[:, :, 0, :]                                        # [P, N, K]
-    sg = jnp.take_along_axis(seeds_b, fb[:, :, None], axis=1)  # [P, N, K]
-    cand = (eg > 0.5) & sg                               # [P, N, K]
-    k_ids = jnp.arange(block, dtype=jnp.int32)
-    in_block = jnp.min(jnp.where(cand, k_ids[None, None, :], block), axis=-1)
-    has_cand = first_block < n_blocks
-    min_seed = jnp.where(
-        has_cand, fb * block + jnp.minimum(in_block, block - 1), n_cap
-    ).astype(jnp.int32)
+    # Bit-weight trick: split rows into blocks of Kb=16 and give in-block
+    # position k the weight 2^(Kb-1-k).  One einsum then yields
+    # s[p,b,i] = Σ_k seed·elink·2^(Kb-1-k); the smallest candidate k in the
+    # block is Kb-1-floor(log2 s), and floor(log2 s) is EXACT — s is an
+    # integer < 2^16 < 2^24, so it's the f32 exponent field, read with a
+    # bitcast.  No [P,N,K] gathers (the previous two-level take_along_axis
+    # formulation was the pipeline bottleneck: 10.1 ms of the 15.5 ms
+    # fused step on v5e; this is elementwise + one matmul).
+    kb = 16
+    nb = n_cap // kb
+    # host-side exact powers of two (jnp.exp2 is approximate — 2^15 came
+    # out 32767.984, breaking the exponent-field readback)
+    weights = jnp.asarray(
+        np.exp2(np.arange(kb - 1, -1, -1, dtype=np.float64)), jnp.float32
+    )                                                    # [Kb] 2^(Kb-1-k)
+    wseed = (
+        seed.reshape(p_count, nb, kb).astype(jnp.float32) * weights[None, None, :]
+    )                                                    # [P, B, Kb]
+    eb = elink_f.reshape(nb, kb, n_cap)                  # [B, Kb, N]
+    s_bits = jnp.einsum(
+        "pbk,bkn->pbn", wseed, eb, preferred_element_type=jnp.float32,
+    )                                                    # [P, B, N]
+    expo = (
+        jax.lax.bitcast_convert_type(s_bits, jnp.int32) >> 23
+    ) - 127                                              # floor(log2 s), exact
+    block_ids = jnp.arange(nb, dtype=jnp.int32)
+    cand_gid = jnp.where(
+        s_bits > 0,
+        block_ids[None, :, None] * kb + (kb - 1 - expo),
+        n_cap,
+    )                                                    # [P, B, N]
+    min_seed = jnp.min(cand_gid, axis=1).astype(jnp.int32)  # [P, N]
 
     gid = jnp.where(seed, order[None, :], min_seed)
     return jnp.where(pm, gid, n_cap)
