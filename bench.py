@@ -34,7 +34,8 @@ N_HAP = 466          # HPRC r2 assemblies + CHM13 (doc/where_hprc_data.md)
 CAP_N = 512
 CAP_S = 128          # segregating-site capacity per 5 kb window
 WIN_BP = 5000.0
-W_BATCH = 40         # one 200kb unit per device step
+W_BATCH = 320        # eight 200kb units per device step (throughput saturates
+                     # at ~320 windows/step on v5e: 113 -> 196 units/sec)
 UNIT_WINDOWS = 40
 THRESHOLD = 0.999
 
@@ -117,7 +118,7 @@ def device_pipeline():
     return step
 
 
-def bench_device(step, batch, iters=8):
+def bench_device(step, batch, iters=32):
     import jax
 
     # device-resident inputs: window tiles are prefetched/pipelined by the
@@ -125,11 +126,13 @@ def bench_device(step, batch, iters=8):
     # would measure the tunnel, not the engine
     batch = tuple(jax.device_put(a) for a in batch)
     out = step(*batch)
-    jax.block_until_ready(out)  # compile + warm
+    _ = np.asarray(out[0])  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(*batch)
-    jax.block_until_ready(out)
+    # fetch real data as the barrier: through the remote-TPU tunnel,
+    # block_until_ready can return before execution actually finishes
+    _ = np.asarray(out[0])
     dt = time.perf_counter() - t0
     windows_per_sec = W_BATCH * iters / dt
     return windows_per_sec, out

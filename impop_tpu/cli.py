@@ -1310,8 +1310,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--threshold", type=float, default=0.999)
     p.add_argument("-o", "--output")
     p.add_argument("--journal", help="JSONL journal path for resume")
-    p.add_argument("--batch", type=int, default=32,
-                   help="windows per device step")
+    p.add_argument("--batch", type=int, default=128,
+                   help="windows per device step (device throughput "
+                        "saturates near 320 on v5e; smaller batches "
+                        "recompile less and resume finer)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize and shard "
                         "the window list across processes")

@@ -248,13 +248,31 @@ def greedy_group_panels(
 
 
 def group_sizes(gid: jnp.ndarray, member: jnp.ndarray) -> jnp.ndarray:
-    """sizes[s] = number of members whose group seed is row s (0 elsewhere)."""
+    """sizes[s] = number of members whose group seed is row s (0 elsewhere).
+
+    Scatter-free histogram: factor the bucket id as s = b·Kb + k and count
+    with one [Nb, N] @ [N, Kb] matmul of the two one-hot factors —
+    TPU scatter-adds serialise (the previous ``.at[gid].add`` formulation
+    cost 20.8 ms vs 1.0 ms for this at [320 windows, 15 panels, 512 rows]).
+    The n_cap sentinel used for padding rows lands in bucket n_cap, which
+    the final slice drops (and members always carry in-range gids).
+    """
     n_cap = gid.shape[0]
-    return (
-        jnp.zeros(n_cap + 1, dtype=jnp.int32)
-        .at[gid]
-        .add(member.astype(jnp.int32))[:n_cap]
-    )
+    kb = 16
+    nb = -(-(n_cap + 1) // kb)  # cover the n_cap sentinel bucket
+    gb = gid // kb                                       # [N]
+    gk = gid % kb
+    ohb = (
+        (gb[:, None] == jnp.arange(nb, dtype=gid.dtype)[None, :]) & member[:, None]
+    ).astype(jnp.float32)                                # [N, Nb]
+    ohk = (
+        gk[:, None] == jnp.arange(kb, dtype=gid.dtype)[None, :]
+    ).astype(jnp.float32)                                # [N, Kb]
+    sizes_bk = jax.lax.dot_general(
+        ohb, ohk, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # [Nb, Kb]
+    return sizes_bk.reshape(nb * kb)[:n_cap].astype(jnp.int32)
 
 
 def rep_weights(gid: jnp.ndarray, member: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
