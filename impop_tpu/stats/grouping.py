@@ -102,7 +102,9 @@ def greedy_group(
         frontier = member & ~decided & ~blocked
         absorbed = any_earlier(decided & seed)
         new_seed = frontier & ~absorbed
-        return decided | frontier, seed | new_seed
+        # rows absorbed by a known seed are decided immediately — a clique
+        # resolves in 2 rounds instead of |clique| rounds
+        return decided | frontier | (member & absorbed), seed | new_seed
 
     decided0 = ~member
     seed0 = jnp.zeros(n_cap, dtype=bool)
@@ -149,7 +151,20 @@ def greedy_group_panels(
 
     pm = pmasks & member[None, :]                      # [P, N]
 
-    # --- seed determination: chunked scan over row order -----------------
+    # --- seed determination -----------------------------------------------
+    # On TPU the whole recurrence runs as ONE fused Pallas program
+    # (ops/seedpeel.py): the XLA chunked loop below compiles to ~180 small
+    # kernels per 320-window batch whose dispatch overhead dominates
+    # (12.8 ms vs 2.3 ms fused on v5e).
+    # (gated on 128-row multiples: Mosaic requires lane-aligned dynamic
+    # stores into the VMEM seed scratch, so the chunk width is fixed at 128)
+    if jax.default_backend() not in ("cpu",) and n_cap % 128 == 0:
+        from impop_tpu.ops.seedpeel import seed_peel_pallas
+
+        seed = seed_peel_pallas(sim, present, member, pmasks, threshold)
+        return _gid_from_seeds(seed, elink_f, pm, order, n_cap)
+
+    # --- XLA fallback: chunked scan over row order ------------------------
     # The seed recurrence s_i = ¬∃ seed j<i with link(j,i) has sequential
     # depth up to the link-graph chain length (can be ~N on real data, so a
     # global converge-until-done peel is unbounded over expensive [P,N]@[N,N]
@@ -197,7 +212,9 @@ def greedy_group_panels(
             frontier = pm_c & ~decided & ~blocked
             absorbed = absorbed_ext | any_in_chunk(seed_c)
             new_seed = frontier & ~absorbed
-            return decided | frontier, seed_c | new_seed
+            # rows absorbed by a known seed decide immediately (clique ->
+            # 2 rounds, not |clique|)
+            return decided | frontier | (pm_c & absorbed), seed_c | new_seed
 
         _, seed_c = jax.lax.while_loop(
             peel_cond, peel_body,
@@ -208,16 +225,23 @@ def greedy_group_panels(
     seed = jax.lax.fori_loop(
         0, n_chunks, chunk_body, jnp.zeros_like(pm)
     )
+    return _gid_from_seeds(seed, elink_f, pm, order, n_cap)
 
-    # --- argmin of {j < i : seed_p[j] & elink[j, i]} without [P, N, N] ---
-    # Bit-weight trick: split rows into blocks of Kb=16 and give in-block
-    # position k the weight 2^(Kb-1-k).  One einsum then yields
-    # s[p,b,i] = Σ_k seed·elink·2^(Kb-1-k); the smallest candidate k in the
-    # block is Kb-1-floor(log2 s), and floor(log2 s) is EXACT — s is an
-    # integer < 2^16 < 2^24, so it's the f32 exponent field, read with a
-    # bitcast.  No [P,N,K] gathers (the previous two-level take_along_axis
-    # formulation was the pipeline bottleneck: 10.1 ms of the 15.5 ms
-    # fused step on v5e; this is elementwise + one matmul).
+
+def _gid_from_seeds(seed, elink_f, pm, order, n_cap):
+    """gid[p, i] = min{ seed j < i : elink[j, i] }; i if seed; N sentinel.
+
+    Argmin of {j < i : seed_p[j] & elink[j, i]} without [P, N, N]:
+    bit-weight trick — split rows into blocks of Kb=16 and give in-block
+    position k the weight 2^(Kb-1-k).  One einsum then yields
+    s[p,b,i] = sum_k seed*elink*2^(Kb-1-k); the smallest candidate k in the
+    block is Kb-1-floor(log2 s), and floor(log2 s) is EXACT — s is an
+    integer < 2^16 < 2^24, so it's the f32 exponent field, read with a
+    bitcast.  No [P,N,K] gathers (the previous two-level take_along_axis
+    formulation was the pipeline bottleneck: 10.1 ms of the 15.5 ms
+    fused step on v5e; this is elementwise + one matmul).
+    """
+    p_count = pm.shape[0]
     kb = 16
     nb = n_cap // kb
     # host-side exact powers of two (jnp.exp2 is approximate — 2^15 came

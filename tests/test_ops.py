@@ -28,3 +28,31 @@ def test_pairwise_identity_pallas_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(sim_p), np.asarray(sim_x),
                                rtol=0, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(pres_p), np.asarray(pres_x))
+
+
+def test_seed_peel_pallas_matches_greedy_group(rng):
+    from impop_tpu.ops.seedpeel import seed_peel_pallas
+    from impop_tpu.stats.grouping import greedy_group
+
+    n, p = 256, 4
+    cls = rng.integers(0, 7, size=n)
+    base = 0.99 + 0.01 * (cls[:, None] == cls[None, :])
+    noise = rng.normal(0, 0.004, size=(n, n))
+    sim = np.clip(base + (noise + noise.T) / 2, 0, 1).astype(np.float32)
+    np.fill_diagonal(sim, 1.0)
+    present = rng.random((n, n)) < 0.9
+    present = present & present.T
+    np.fill_diagonal(present, True)
+    member = rng.random(n) < 0.9
+    pmasks = rng.random((p, n)) < 0.7
+
+    with pltpu.force_tpu_interpret_mode():
+        seed = np.asarray(seed_peel_pallas(
+            jnp.asarray(sim), jnp.asarray(present), jnp.asarray(member),
+            jnp.asarray(pmasks), 0.995, block=128))
+    for pi in range(p):
+        gid = np.asarray(greedy_group(
+            jnp.asarray(sim), jnp.asarray(present),
+            jnp.asarray(member & pmasks[pi]), 0.995))
+        expect = (gid == np.arange(n)) & member & pmasks[pi]
+        np.testing.assert_array_equal(seed[pi], expect)
