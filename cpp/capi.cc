@@ -9,6 +9,7 @@
 #include "extract.h"
 
 #include <cstring>
+#include <vector>
 #include <string>
 
 extern "C" {
@@ -20,6 +21,8 @@ struct IxHandle {
 
 struct IxResult {
   impop::WindowMatrix wm;
+  std::string names_blob;      // lazily built '\n'-joined caches: one ctypes
+  std::string site_keys_blob;  // call instead of n/s per-element round trips
 };
 
 void* ix_open(const char* paf_path, const char* fasta_path) {
@@ -82,6 +85,37 @@ long long ix_site_pos(void* result, long long col) {
   auto* r = static_cast<IxResult*>(result);
   if (col < 0 || col >= r->wm.s) return -1;
   return r->wm.site_pos[static_cast<size_t>(col)];
+}
+
+void ix_copy_site_pos(void* result, long long* out) {
+  auto* r = static_cast<IxResult*>(result);
+  for (size_t c = 0; c < r->wm.site_pos.size(); ++c) {
+    out[c] = r->wm.site_pos[c];
+  }
+}
+
+static const char* join_blob(std::string* blob,
+                             const std::vector<std::string>& items) {
+  if (blob->empty() && !items.empty()) {
+    size_t total = 0;
+    for (const auto& s : items) total += s.size() + 1;
+    blob->reserve(total);
+    for (const auto& s : items) {
+      blob->append(s);
+      blob->push_back('\n');
+    }
+  }
+  return blob->c_str();
+}
+
+const char* ix_names_blob(void* result) {
+  auto* r = static_cast<IxResult*>(result);
+  return join_blob(&r->names_blob, r->wm.names);
+}
+
+const char* ix_site_keys_blob(void* result) {
+  auto* r = static_cast<IxResult*>(result);
+  return join_blob(&r->site_keys_blob, r->wm.site_keys);
 }
 
 void ix_result_free(void* result) {

@@ -95,18 +95,22 @@ std::string FastaReader::fetch(const std::string& name, int64_t start,
   if (end > e.length) end = e.length;
   if (start >= end) return "";
   std::ifstream& in = file_;
+  // One bulk read of the covering byte range, then strip line terminators
+  // in memory — a seek+read per 60-base FASTA line costs ~8k syscall pairs
+  // per 500 kb slice and dominated genome-scale extraction profiles.
+  const int64_t line0 = start / e.line_bases;
+  const int64_t line1 = (end - 1) / e.line_bases;
+  const int64_t byte0 = e.offset + line0 * e.line_bytes + start % e.line_bases;
+  const int64_t byte1 =
+      e.offset + line1 * e.line_bytes + (end - 1) % e.line_bases + 1;
+  std::string raw(static_cast<size_t>(byte1 - byte0), '\0');
+  in.seekg(byte0);
+  in.read(&raw[0], byte1 - byte0);
+  raw.resize(static_cast<size_t>(in.gcount()));
   std::string out;
   out.reserve(static_cast<size_t>(end - start));
-  int64_t pos = start;
-  while (pos < end) {
-    int64_t line_idx = pos / e.line_bases;
-    int64_t in_line = pos % e.line_bases;
-    int64_t take = std::min(e.line_bases - in_line, end - pos);
-    in.seekg(e.offset + line_idx * e.line_bytes + in_line);
-    std::string buf(static_cast<size_t>(take), '\0');
-    in.read(&buf[0], take);
-    out += buf;
-    pos += take;
+  for (char c : raw) {
+    if (c != '\n' && c != '\r') out.push_back(c);
   }
   return out;
 }

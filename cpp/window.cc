@@ -9,8 +9,8 @@
 #include "extract.h"
 
 #include <algorithm>
+#include <cstring>
 #include <map>
-#include <set>
 #include <stdexcept>
 
 namespace impop {
@@ -46,12 +46,19 @@ struct Variant {
     if (ref != o.ref) return ref < o.ref;
     return alt < o.alt;
   }
+  bool operator==(const Variant& o) const {
+    return pos == o.pos && ref == o.ref && alt == o.alt;
+  }
 };
 
+// The walk emits variants in non-decreasing target order, so a vector +
+// one sort/unique pass (needed only when a row has several PAF records)
+// replaces the former std::set — red-black node churn dominated extraction
+// profiles at genome scale.
 struct HapState {
   int64_t cover_start = INT64_MAX;
   int64_t cover_end = INT64_MIN;
-  std::set<Variant> variants;
+  std::vector<Variant> variants;
 };
 
 }  // namespace
@@ -152,8 +159,8 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
               char tb = target_base(p);
               char qb = query_base(qi + k);
               if (tb != qb && tb != 'N' && qb != 'N') {
-                hap.variants.insert({p, std::string(1, tb),
-                                     std::string(1, qb)});
+                hap.variants.push_back({p, std::string(1, tb),
+                                        std::string(1, qb)});
               }
             }
           }
@@ -167,8 +174,8 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
             if (p >= start && p < end) {
               char tb = target_base(p);
               char qb = query_base(qi + k);
-              hap.variants.insert({p, std::string(1, tb),
-                                   std::string(1, qb)});
+              hap.variants.push_back({p, std::string(1, tb),
+                                      std::string(1, qb)});
             }
           }
           tpos += op.len;
@@ -187,7 +194,7 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
             } else {
               alt = "<INS" + std::to_string(op.len) + ">";
             }
-            hap.variants.insert({tpos, "", alt});
+            hap.variants.push_back({tpos, "", alt});
           }
           qi += op.len;
           break;
@@ -200,7 +207,7 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
             std::string ref;
             for (int64_t p = del_start; p < del_end; ++p)
               ref += target_base(p);
-            hap.variants.insert({del_start, ref, ""});
+            hap.variants.push_back({del_start, ref, ""});
           }
           tpos += op.len;
           break;
@@ -229,15 +236,38 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
     ref_row.cover_end = end;
   }
 
-  // Union of variant keys -> site axis.
-  std::set<Variant> all_variants;
-  for (const auto& [_, hap] : haps) {
-    all_variants.insert(hap.variants.begin(), hap.variants.end());
+  // Per-hap variants arrive in walk order; sort+unique covers rows built
+  // from several PAF records.
+  for (auto& [_, hap] : haps) {
+    if (!std::is_sorted(hap.variants.begin(), hap.variants.end()))
+      std::sort(hap.variants.begin(), hap.variants.end());
+    hap.variants.erase(
+        std::unique(hap.variants.begin(), hap.variants.end()),
+        hap.variants.end());
   }
-  std::map<Variant, int64_t> col_of;
+
+  // Union of variant keys -> site axis: one flat sort/unique instead of the
+  // former std::set merge + std::map column lookup (string-keyed tree nodes
+  // dominated at ~1e6 sites).
+  std::vector<Variant> all_variants;
+  {
+    size_t total = 0;
+    for (const auto& [_, hap] : haps) total += hap.variants.size();
+    all_variants.reserve(total);
+    for (const auto& [_, hap] : haps) {
+      all_variants.insert(all_variants.end(), hap.variants.begin(),
+                          hap.variants.end());
+    }
+    std::sort(all_variants.begin(), all_variants.end());
+    all_variants.erase(
+        std::unique(all_variants.begin(), all_variants.end()),
+        all_variants.end());
+  }
+
   WindowMatrix wm;
+  wm.site_keys.reserve(all_variants.size());
+  wm.site_pos.reserve(all_variants.size());
   for (const Variant& v : all_variants) {
-    col_of[v] = static_cast<int64_t>(wm.site_keys.size());
     wm.site_keys.push_back(std::to_string(v.pos) + ":" + v.ref + ">" + v.alt);
     wm.site_pos.push_back(v.pos);
   }
@@ -245,26 +275,49 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
   wm.n = static_cast<int64_t>(haps.size());
   wm.geno.assign(static_cast<size_t>(wm.n * std::max<int64_t>(wm.s, 1)), -1);
 
-  // column coverage: insertion columns (empty ref) sit *between* bases, so
+  // Column coverage: insertion columns (empty ref) sit *between* bases, so
   // a haplotype covers them iff cover_start < pos <= cover_end; base-anchored
-  // variants use cover_start <= pos < cover_end
-  std::vector<bool> col_is_ins;
-  for (const Variant& v : all_variants) col_is_ins.push_back(v.ref.empty());
+  // variants use cover_start <= pos < cover_end.  Both rules agree on the
+  // open interval (cover_start, cover_end), so coverage is one contiguous
+  // fill plus the two boundary positions — the former per-cell loop was
+  // O(n*s) (~5e8 cells at genome scale).
+  const int64_t s_count = wm.s;
+  auto pos_lower = [&](int64_t pos) {
+    return std::lower_bound(wm.site_pos.begin(), wm.site_pos.end(), pos) -
+           wm.site_pos.begin();
+  };
+  auto pos_upper = [&](int64_t pos) {
+    return std::upper_bound(wm.site_pos.begin(), wm.site_pos.end(), pos) -
+           wm.site_pos.begin();
+  };
 
   int64_t row = 0;
   for (const auto& [name, hap] : haps) {  // std::map: sorted row names
     wm.names.push_back(name);
-    for (int64_t c = 0; c < wm.s; ++c) {
-      int64_t pos = wm.site_pos[static_cast<size_t>(c)];
-      int8_t val = -1;
-      bool covered = col_is_ins[static_cast<size_t>(c)]
-                         ? (pos > hap.cover_start && pos <= hap.cover_end)
-                         : (pos >= hap.cover_start && pos < hap.cover_end);
-      if (covered) val = 0;
-      wm.geno[static_cast<size_t>(row * wm.s + c)] = val;
+    int8_t* g = wm.geno.data() + static_cast<size_t>(row) *
+                                     static_cast<size_t>(std::max<int64_t>(s_count, 1));
+    if (hap.cover_start <= hap.cover_end && s_count > 0) {
+      // interior: cover_start < pos < cover_end — covered under both rules
+      int64_t lo = pos_upper(hap.cover_start);
+      int64_t hi = pos_lower(hap.cover_end);
+      if (hi > lo) std::memset(g + lo, 0, static_cast<size_t>(hi - lo));
+      // boundary pos == cover_start: base-anchored columns only
+      for (int64_t c = pos_lower(hap.cover_start);
+           c < s_count && wm.site_pos[static_cast<size_t>(c)] == hap.cover_start;
+           ++c) {
+        if (!all_variants[static_cast<size_t>(c)].ref.empty()) g[c] = 0;
+      }
+      // boundary pos == cover_end: insertion columns only
+      for (int64_t c = pos_lower(hap.cover_end);
+           c < s_count && wm.site_pos[static_cast<size_t>(c)] == hap.cover_end;
+           ++c) {
+        if (all_variants[static_cast<size_t>(c)].ref.empty()) g[c] = 0;
+      }
     }
+    // variant cells: binary search into the sorted union
     for (const Variant& v : hap.variants) {
-      wm.geno[static_cast<size_t>(row * wm.s + col_of[v])] = 1;
+      auto it = std::lower_bound(all_variants.begin(), all_variants.end(), v);
+      g[it - all_variants.begin()] = 1;
     }
     ++row;
   }

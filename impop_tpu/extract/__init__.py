@@ -72,6 +72,13 @@ def load_library(rebuild: bool = False) -> ctypes.CDLL:
     lib.ix_site_key.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
     lib.ix_site_pos.restype = ctypes.c_longlong
     lib.ix_site_pos.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    lib.ix_copy_site_pos.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)
+    ]
+    lib.ix_names_blob.restype = ctypes.c_char_p
+    lib.ix_names_blob.argtypes = [ctypes.c_void_p]
+    lib.ix_site_keys_blob.restype = ctypes.c_char_p
+    lib.ix_site_keys_blob.argtypes = [ctypes.c_void_p]
     lib.ix_result_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -123,13 +130,18 @@ class NativeExtractor:
                 buf = geno.ctypes.data_as(ctypes.POINTER(ctypes.c_byte))
                 self._lib.ix_copy_geno(res, buf)
             geno = geno[:, :s_v] if s_v else geno[:, :0]
-            names = [self._lib.ix_name(res, i).decode() for i in range(n_v)]
-            site_keys = [self._lib.ix_site_key(res, c).decode()
-                         for c in range(s_v)]
-            site_pos = np.asarray(
-                [self._lib.ix_site_pos(res, c) for c in range(s_v)],
-                dtype=np.int64,
-            )
+            # bulk reads: one joined blob / one array copy per field instead
+            # of n+2s ctypes round trips (dominates at ~1e6 sites)
+            nb = self._lib.ix_names_blob(res)
+            names = nb.decode().splitlines() if n_v and nb else []
+            kb = self._lib.ix_site_keys_blob(res)
+            site_keys = kb.decode().splitlines() if s_v and kb else []
+            site_pos = np.zeros(s_v, dtype=np.int64)
+            if s_v:
+                self._lib.ix_copy_site_pos(
+                    res, site_pos.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_longlong))
+                )
             return WindowMatrix(names, site_keys, site_pos, geno)
         finally:
             self._lib.ix_result_free(res)

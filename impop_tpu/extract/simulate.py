@@ -49,7 +49,13 @@ def simulate(
     ref_name: str = "CHM13#0#chr1",
     seed: int = 0,
     span: Optional[Tuple[int, int]] = None,
+    site_pool: Optional[int] = None,
 ) -> SimPangenome:
+    """With ``site_pool=k``, variation is drawn from a SHARED pool of k sites
+    (same alt allele per site, per-site carrier frequencies) — the realistic
+    pangenome shape, where the window site-axis is the pool, not
+    n_haps x n_snps independent private variants.  ``n_snps`` is ignored in
+    pool mode."""
     import os
 
     rng = np.random.default_rng(seed)
@@ -57,6 +63,30 @@ def simulate(
     haps: List[SimHaplotype] = []
     fasta_records: List[Tuple[str, str]] = [(ref_name, ref_seq)]
     paf_lines: List[str] = []
+
+    pool: List[Tuple[int, str, object]] = []  # (pos, kind, payload)
+    pool_freq: Optional[np.ndarray] = None
+    if site_pool is not None:
+        lo = (span[0] if span else 0) + 2
+        hi_b = (span[1] if span else ref_len) - 6
+        # spacing >= 4 keeps shared indels from overlapping each other
+        grid = np.arange(lo, hi_b, 4)
+        pos_pool = np.sort(rng.choice(grid, size=min(site_pool, len(grid)),
+                                      replace=False))
+        for pos in pos_pool:
+            pos = int(pos)
+            kind = rng.random()
+            if kind < p_indel / 2:
+                ins = "".join(rng.choice(_BASES, size=int(rng.integers(1, 4))))
+                pool.append((pos, "ins", ins))
+            elif kind < p_indel:
+                pool.append((pos, "del", int(rng.integers(1, 3))))
+            else:
+                ref_base = ref_seq[pos]
+                alt = str(rng.choice([b for b in "ACGT" if b != ref_base]))
+                pool.append((pos, "snp", alt))
+        # per-site carrier frequency: skewed to rare (pangenome-like SFS)
+        pool_freq = rng.beta(0.4, 1.6, size=len(pool))
 
     for hi in range(n_haps):
         sample = f"HG{900 + hi // 2:05d}"
@@ -69,31 +99,45 @@ def simulate(
             a0, a1 = span
         reverse = bool(rng.random() < 0.4)
 
-        positions = sorted(
-            rng.choice(np.arange(a0 + 2, a1 - 2), size=n_snps, replace=False)
-        )
         snps: Dict[int, str] = {}
         insertions: Dict[int, str] = {}
         deletions: Dict[int, int] = {}
-        used: set = set()
-        for pos in positions:
-            pos = int(pos)
-            kind = rng.random()
-            if kind < p_indel / 2 and pos not in used:
-                ins = "".join(rng.choice(_BASES, size=int(rng.integers(1, 4))))
-                insertions[pos] = ins
-                used.add(pos)
-            elif kind < p_indel and pos + 3 < a1 and not any(
-                p in used for p in range(pos, pos + 3)
-            ):
-                dlen = int(rng.integers(1, 3))
-                deletions[pos] = dlen
-                used.update(range(pos, pos + dlen))
-            elif pos not in used:
-                ref_base = ref_seq[pos]
-                alt = str(rng.choice([b for b in "ACGT" if b != ref_base]))
-                snps[pos] = alt
-                used.add(pos)
+        if site_pool is not None:
+            carried = rng.random(len(pool)) < pool_freq
+            for (pos, kind, payload), c in zip(pool, carried):
+                if not c or pos < a0 + 2 or pos >= a1 - 4:
+                    continue
+                if kind == "ins":
+                    insertions[pos] = payload
+                elif kind == "del":
+                    deletions[pos] = payload
+                else:
+                    snps[pos] = payload
+        else:
+            positions = sorted(
+                rng.choice(np.arange(a0 + 2, a1 - 2), size=n_snps,
+                           replace=False)
+            )
+            used: set = set()
+            for pos in positions:
+                pos = int(pos)
+                kind = rng.random()
+                if kind < p_indel / 2 and pos not in used:
+                    ins = "".join(
+                        rng.choice(_BASES, size=int(rng.integers(1, 4))))
+                    insertions[pos] = ins
+                    used.add(pos)
+                elif kind < p_indel and pos + 3 < a1 and not any(
+                    p in used for p in range(pos, pos + 3)
+                ):
+                    dlen = int(rng.integers(1, 3))
+                    deletions[pos] = dlen
+                    used.update(range(pos, pos + dlen))
+                elif pos not in used:
+                    ref_base = ref_seq[pos]
+                    alt = str(rng.choice([b for b in "ACGT" if b != ref_base]))
+                    snps[pos] = alt
+                    used.add(pos)
 
         # build the haplotype sequence + CIGAR by walking the ref span
         seq_parts: List[str] = []
