@@ -705,6 +705,20 @@ def cmd_scan(args) -> int:
 
     journal = ResultJournal(args.journal)
 
+    # window row names are identical across a contiguous scan — memoise the
+    # panel prefix matching (it was re-run per window per panel)
+    import functools as _functools
+
+    @_functools.lru_cache(maxsize=64)
+    def panel_masks_for(names_key: tuple) -> np.ndarray:
+        masks = np.zeros((p_count, len(names_key)), dtype=bool)
+        for pi_idx, plist in enumerate(panel_lists):
+            matched, _ = expand_population(plist, list(names_key))
+            for k, nm in enumerate(names_key):
+                if nm in matched:
+                    masks[pi_idx, k] = True
+        return masks
+
     header = ["REGION", "LENGTH", "SAMPLES", "SEGREGATING_SITES"]
     if panel_lists:
         for name in panel_names:
@@ -838,11 +852,7 @@ def cmd_scan(args) -> int:
                 smask[wi, :s] = True
                 lengths[wi] = reg.length
                 if panel_lists:
-                    for pi_idx, plist in enumerate(panel_lists):
-                        matched, _ = expand_population(plist, names)
-                        for k, nm in enumerate(names):
-                            if nm in matched:
-                                panels[wi, pi_idx, k] = True
+                    panels[wi, :, :n] = panel_masks_for(tuple(names))
                 else:
                     panels[wi, 0, :n] = True
             with timers.stage("h2d"):
@@ -1410,6 +1420,27 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    # Persistent compilation cache: every CLI invocation is a fresh process,
+    # and the fused scan program costs ~10-60 s to compile — without this,
+    # compile time dominates short scans.  Opt out with
+    # IMPOP_TPU_NO_COMPILE_CACHE=1.
+    if not os.environ.get("IMPOP_TPU_NO_COMPILE_CACHE"):
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(
+                os.environ.get("XDG_CACHE_HOME",
+                               os.path.expanduser("~/.cache")),
+                "impop_tpu", "jax_cache",
+            ),
+        )
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # cache is best-effort
     args = build_parser().parse_args(argv)
     return args.func(args)
 
