@@ -75,8 +75,7 @@ def device_pipeline():
     import jax.numpy as jnp
 
     from impop_tpu.stats.allele import identity_from_alleles, segregating_sites
-    from impop_tpu.stats.fst import hudson_fst_direct_pairs
-    from impop_tpu.stats.pi import pi_grouped, pi_grouped_panels
+    from impop_tpu.stats.panelstats import fused_panel_stats
     from impop_tpu.stats.tajima import tajimas_d
 
     pair_a = jnp.asarray(
@@ -91,23 +90,17 @@ def device_pipeline():
         sim, present = identity_from_alleles(g, m, smask, length)
         s_count = segregating_sites(g, m, smask)
 
-        # all 5 panel π + 10 pair-union π through the shared-matrix panels
-        # kernel in ONE grouping pass (the reference runs 35 impg+pica2
-        # process pairs for the same work)
-        unions = panels1[pair_a] | panels1[pair_b]
-        all_masks = jnp.concatenate([panels1, unions], axis=0)
-        res = pi_grouped_panels(sim, present, m, all_masks, t)
+        # all 5 panel π + 10 pair-union π + 10 Hudson pairs through ONE
+        # grouping pass and ONE fused reduction kernel (the reference runs
+        # 35 impg+pica2/h-fst process pairs for the same work)
+        res = fused_panel_stats(sim, present, m, panels1, pair_a, pair_b, t)
         p_count = panels1.shape[0]
         pi_panel = res.pi[:p_count]
         pi_c = res.pi[p_count:]
         d = tajimas_d(
             res.n[:p_count], s_count.astype(jnp.float32), pi_panel / length
         )
-
-        hud = hudson_fst_direct_pairs(
-            sim, present, panels1[pair_a] & m[None, :],
-            panels1[pair_b] & m[None, :],
-        ).fst
+        hud = res.hudson.fst
         pi_ab = 0.5 * (pi_panel[pair_a] + pi_panel[pair_b])
         f3 = jnp.where(
             pi_c != 0, (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0), jnp.nan

@@ -668,8 +668,7 @@ def cmd_scan(args) -> int:
     from impop_tpu.io.panels import expand_population
     from impop_tpu.runtime.journal import ResultJournal
     from impop_tpu.stats.allele import identity_from_alleles, segregating_sites
-    from impop_tpu.stats.fst import hudson_fst_direct_pairs
-    from impop_tpu.stats.pi import pi_grouped_panels
+    from impop_tpu.stats.panelstats import fused_panel_stats
     from impop_tpu.stats.tajima import tajimas_d
 
     from impop_tpu.parallel.distributed import host_window_range, maybe_initialize
@@ -736,19 +735,12 @@ def cmd_scan(args) -> int:
     def one_window(g, m, smask, panels1, length):
         sim, present = identity_from_alleles(g, m, smask, length)
         s_count = segregating_sites(g, m, smask)
-        unions = panels1[pair_a] | panels1[pair_b]
-        res = pi_grouped_panels(
-            sim, present, m, jnp.concatenate([panels1, unions], 0), t
-        )
+        res = fused_panel_stats(sim, present, m, panels1, pair_a, pair_b, t)
         pi_panel = res.pi[:panels1.shape[0]]
         pi_c = res.pi[panels1.shape[0]:]
         d = tajimas_d(res.n[:panels1.shape[0]],
                       s_count.astype(jnp.float32), pi_panel / length)
-        mask_a = panels1[pair_a] & m[None, :]
-        mask_b = panels1[pair_b] & m[None, :]
-        ov = mask_a & mask_b
-        fst = hudson_fst_direct_pairs(sim, present, mask_a & ~ov,
-                                      mask_b & ~ov).fst
+        fst = res.hudson.fst
         pi_ab = 0.5 * (pi_panel[pair_a] + pi_panel[pair_b])
         f3 = jnp.where(pi_c != 0,
                        (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0),

@@ -1,0 +1,78 @@
+"""fused_panel_stats == pi_grouped_panels + hudson_fst_direct_pairs."""
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from impop_tpu.stats.fst import hudson_fst_direct_pairs
+from impop_tpu.stats.panelstats import fused_panel_stats
+from impop_tpu.stats.pi import pi_grouped_panels
+
+
+def _window(rng, n=192, p=4):
+    cls = rng.integers(0, 6, size=n)
+    base = 0.99 + 0.01 * (cls[:, None] == cls[None, :])
+    noise = rng.normal(0, 0.004, size=(n, n))
+    sim = np.clip(base + (noise + noise.T) / 2, 0, 1).astype(np.float32)
+    np.fill_diagonal(sim, 1.0)
+    present = rng.random((n, n)) < 0.9
+    present = present & present.T
+    np.fill_diagonal(present, True)
+    member = rng.random(n) < 0.9
+    pmasks = rng.random((p, n)) < 0.6
+    return (jnp.asarray(sim), jnp.asarray(present), jnp.asarray(member),
+            jnp.asarray(pmasks))
+
+
+def test_fused_matches_composed(rng):
+    sim, present, member, pmasks = _window(rng)
+    pair_a = jnp.asarray([0, 0, 1, 2], jnp.int32)
+    pair_b = jnp.asarray([1, 2, 3, 3], jnp.int32)
+    t = 0.995
+
+    got = fused_panel_stats(sim, present, member, pmasks, pair_a, pair_b, t)
+
+    unions = pmasks[pair_a] | pmasks[pair_b]
+    all_masks = jnp.concatenate([pmasks, unions], axis=0)
+    want_pi = pi_grouped_panels(sim, present, member, all_masks, t)
+    np.testing.assert_allclose(np.asarray(got.pi), np.asarray(want_pi.pi),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(got.n), np.asarray(want_pi.n))
+    np.testing.assert_array_equal(np.asarray(got.num_groups),
+                                  np.asarray(want_pi.num_groups))
+    np.testing.assert_array_equal(np.asarray(got.pairs_used),
+                                  np.asarray(want_pi.pairs_used))
+
+    mask_a = pmasks[pair_a] & member[None, :]
+    mask_b = pmasks[pair_b] & member[None, :]
+    ov = mask_a & mask_b
+    want_fst = hudson_fst_direct_pairs(sim, present, mask_a & ~ov,
+                                       mask_b & ~ov)
+    for f in ("fst", "pi_a", "pi_b", "pi_xy", "dxy", "da"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.hudson, f)),
+            np.asarray(getattr(want_fst, f)), rtol=1e-6, atol=1e-9,
+        )
+
+
+def test_panelquad_pallas_matches_xla(rng):
+    from impop_tpu.ops.panelquad import (masked_pair_sums_pallas,
+                                         masked_pair_sums_xla)
+
+    n, r = 256, 9
+    sim = rng.random((n, n)).astype(np.float32)
+    sim = (sim + sim.T) / 2
+    present = rng.random((n, n)) < 0.8
+    present = present & present.T
+    wd = rng.random((r, n)).astype(np.float32)
+    wp = rng.random((r, n)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        yd_p, yp_p = masked_pair_sums_pallas(
+            jnp.asarray(sim), jnp.asarray(present), jnp.asarray(wd),
+            jnp.asarray(wp), block=128)
+    yd_x, yp_x = masked_pair_sums_xla(
+        jnp.asarray(sim), jnp.asarray(present), jnp.asarray(wd),
+        jnp.asarray(wp))
+    np.testing.assert_allclose(np.asarray(yd_p), np.asarray(yd_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yp_p), np.asarray(yp_x),
+                               rtol=1e-5, atol=1e-5)
