@@ -51,7 +51,7 @@ void* ix_extract(void* handle, const char* target, long long start,
   auto* h = static_cast<IxHandle*>(handle);
   if (!h->extractor) return nullptr;
   try {
-    auto* res = new IxResult{h->extractor->extract(target, start, end)};
+    auto* res = new IxResult{h->extractor->extract(target, start, end), {}, {}};
     *n_out = res->wm.n;
     *s_out = res->wm.s;
     h->error.clear();

@@ -68,9 +68,11 @@ def test_python_extractor_recovers_planted_variants(tmp_path, rng):
 def test_cpp_matches_python(tmp_path):
     from impop_tpu.extract import NativeExtractor
 
-    for seed in (0, 7):
-        d = tmp_path / f"s{seed}"
-        sim = simulate(str(d), ref_len=2400, n_haps=10, n_snps=8, seed=seed)
+    kwargs = [dict(n_snps=8, seed=0), dict(n_snps=8, seed=7),
+              dict(site_pool=30, seed=3)]  # shared-pool (realistic) mode
+    for i, kw in enumerate(kwargs):
+        d = tmp_path / f"s{i}"
+        sim = simulate(str(d), ref_len=2400, n_haps=10, **kw)
         py = PyExtractor(sim.paf_path, sim.fasta_path)
         with NativeExtractor(sim.paf_path, sim.fasta_path) as cc:
             for (start, end) in ((0, 2400), (351, 1777), (1200, 1300)):
