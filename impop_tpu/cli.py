@@ -748,16 +748,26 @@ def cmd_scan(args) -> int:
         n_all = jnp.sum(m.astype(jnp.int32))
         return pi_panel, d, fst, f3, s_count, n_all
 
-    step = jax.jit(jax.vmap(one_window))
-
-    # shard the window batch over every local device (GSPMD); a single chip
-    # degenerates to plain placement
+    # shard the window batch over every local device; a single chip
+    # degenerates to plain placement.  Multi-device uses shard_map (not
+    # bare GSPMD): the Pallas kernels inside one_window partition cleanly
+    # when each device executes its own shard of the vmapped program.
     n_dev = len(jax.devices())
     mesh = None
     if n_dev > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
         from impop_tpu.parallel.mesh import make_mesh, window_sharding
 
         mesh = make_mesh(data=n_dev)
+        spec = P("data")
+        step = jax.jit(shard_map(
+            jax.vmap(one_window), mesh=mesh,
+            in_specs=(spec,) * 5, out_specs=spec,
+        ))
+    else:
+        step = jax.jit(jax.vmap(one_window))
 
     def put_batch(arrays):
         if mesh is None:
@@ -1414,25 +1424,30 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         jax.config.update("jax_platforms", plat)
     # Persistent compilation cache: every CLI invocation is a fresh process,
     # and the fused scan program costs ~10-60 s to compile — without this,
-    # compile time dominates short scans.  Opt out with
+    # compile time dominates short scans.  TPU-like backends only: CPU AOT
+    # artifacts encode exact host machine features and can SIGILL when
+    # reloaded on a different (or differently-detected) host.  Opt out with
     # IMPOP_TPU_NO_COMPILE_CACHE=1.
     if not os.environ.get("IMPOP_TPU_NO_COMPILE_CACHE"):
         import jax
 
-        cache_dir = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(
-                os.environ.get("XDG_CACHE_HOME",
-                               os.path.expanduser("~/.cache")),
-                "impop_tpu", "jax_cache",
-            ),
-        )
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass  # cache is best-effort
+        backend = jax.default_backend()
+        if backend not in ("cpu",):
+            cache_dir = os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.join(
+                    os.environ.get("XDG_CACHE_HOME",
+                                   os.path.expanduser("~/.cache")),
+                    "impop_tpu", "jax_cache", backend,
+                ),
+            )
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:
+                pass  # cache is best-effort
     args = build_parser().parse_args(argv)
     return args.func(args)
 
