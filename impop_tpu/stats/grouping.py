@@ -79,6 +79,21 @@ def greedy_group(
     order = jnp.arange(n_cap, dtype=jnp.int32)
     # elink[j, i]: j < i and linked — the "earlier neighbour" relation
     elink = link & (order[:, None] < order[None, :])
+
+    if jax.default_backend() not in ("cpu",) and n_cap % 128 == 0:
+        # single fused program on TPU (see greedy_group_panels)
+        from impop_tpu.ops.seedpeel import seed_peel_pallas
+
+        seed = seed_peel_pallas(
+            sim, present, member, member[None, :], threshold
+        )[0]
+        cand = elink & seed[:, None]
+        min_seed = jnp.min(
+            jnp.where(cand, order[:, None], n_cap), axis=0
+        ).astype(jnp.int32)
+        gid = jnp.where(seed, order, min_seed)
+        return jnp.where(member, gid, n_cap)
+
     # the peeling rounds only need "∃ earlier neighbour j with flag[j]",
     # which is a mask-vector product — express it as an MXU matvec instead
     # of an [N, N] elementwise AND + reduction per round
