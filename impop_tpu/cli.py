@@ -34,7 +34,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from impop_tpu.io.bed import Region, make_windows, read_bed
-from impop_tpu.io.panels import read_panel_file, union_panel
+from impop_tpu.io.panels import read_panel_file
 from impop_tpu.io.simtsv import SimilarityMatrix, read_similarity_tsv
 from impop_tpu.report import tables
 
@@ -475,7 +475,6 @@ def cmd_tajd(args) -> int:
     import jax.numpy as jnp
 
     from impop_tpu.parallel.scan import batch_tajd_from_alleles
-    from impop_tpu.runtime.batcher import pad_batch_count
 
     regions = read_bed(args.bed)
     if not args.geno_dir and not getattr(args, "gfa_dir", None):
@@ -552,7 +551,6 @@ def cmd_afs(args) -> int:
     import jax
 
     from impop_tpu.stats.grouping import label_components
-    from impop_tpu.stats.types import sim_tile_from_matrix
 
     # af.py truncates identifiers at the first ':' (af.py:13-14)
     mat = read_similarity_tsv(args.input)

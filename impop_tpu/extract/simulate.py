@@ -8,7 +8,7 @@ truth for assertions.  Serves the role of the reference's executable fixture
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
