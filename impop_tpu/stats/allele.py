@@ -107,6 +107,26 @@ def identity_from_alleles(
     window length reproduces the identity scale of ``impg similarity``).
     Pairs with zero mutually-valid sites are marked absent.
     """
+    n_cap, s_cap = geno.shape
+    # Long biallelic windows use the fused Pallas kernel: the XLA path
+    # materialises three [N, S] f32 operands in HBM before its matmuls,
+    # which dominates once S reaches the thousands (the site-streaming
+    # regime that removes the reference's 10 kb window cap).  Short
+    # windows keep the XLA path (operands are tiny and fuse well).
+    if (
+        num_alleles == 2
+        and s_cap >= 2048
+        and n_cap % 128 == 0
+        and s_cap % 128 == 0
+        and jax.default_backend() not in ("cpu",)
+    ):
+        from impop_tpu.ops.pairdiff import pairwise_identity_pallas
+
+        tile_s = next(t for t in (512, 256, 128) if s_cap % t == 0)
+        tile_n = next(t for t in (256, 128) if n_cap % t == 0)
+        return pairwise_identity_pallas(
+            geno, member, site_mask, length, tile_n=tile_n, tile_s=tile_s
+        )
     diff, compared = pairwise_diff(geno, member, site_mask, num_alleles)
     present = (compared > 0) & member[:, None] & member[None, :]
     sim = jnp.where(present, 1.0 - diff / jnp.maximum(length, 1.0), 0.0)
