@@ -746,11 +746,15 @@ def cmd_scan(args) -> int:
         n_all = jnp.sum(m.astype(jnp.int32))
         return pi_panel, d, fst, f3, s_count, n_all
 
-    # shard the window batch over every local device; a single chip
+    # shard the window batch over every LOCAL device; a single chip
     # degenerates to plain placement.  Multi-device uses shard_map (not
     # bare GSPMD): the Pallas kernels inside one_window partition cleanly
     # when each device executes its own shard of the vmapped program.
-    n_dev = len(jax.devices())
+    # Hosts already partition the window list (host_window_range), so each
+    # host's mesh spans only its own chips — cross-host there is nothing to
+    # communicate but the output files.
+    local_devs = jax.local_devices()
+    n_dev = len(local_devs)
     mesh = None
     if n_dev > 1:
         from jax import shard_map
@@ -758,7 +762,7 @@ def cmd_scan(args) -> int:
 
         from impop_tpu.parallel.mesh import make_mesh, window_sharding
 
-        mesh = make_mesh(data=n_dev)
+        mesh = make_mesh(data=n_dev, devices=local_devs)
         spec = P("data")
         step = jax.jit(shard_map(
             jax.vmap(one_window), mesh=mesh,
