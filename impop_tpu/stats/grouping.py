@@ -177,7 +177,12 @@ def greedy_group_panels(
         from impop_tpu.ops.seedpeel import seed_peel_pallas
 
         seed = seed_peel_pallas(sim, present, member, pmasks, threshold)
-        return _gid_from_seeds(seed, elink_f, pm, order, n_cap)
+        # bf16 elink is exact here (0/1 entries, power-of-two weights,
+        # f32 accumulation) and halves the argmin einsum's [N, N] traffic;
+        # the CPU backend lacks bf16 dots, so the fallback keeps f32
+        return _gid_from_seeds(
+            seed, elink.astype(jnp.bfloat16), pm, order, n_cap
+        )
 
     # --- XLA fallback: chunked scan over row order ------------------------
     # The seed recurrence s_i = ¬∃ seed j<i with link(j,i) has sequential
@@ -264,8 +269,11 @@ def _gid_from_seeds(seed, elink_f, pm, order, n_cap):
     weights = jnp.asarray(
         np.exp2(np.arange(kb - 1, -1, -1, dtype=np.float64)), jnp.float32
     )                                                    # [Kb] 2^(Kb-1-k)
+    dtype = elink_f.dtype  # f32, or bf16 on TPU (exact: 0/1 links and
+    # power-of-two weights, f32 accumulation)
     wseed = (
-        seed.reshape(p_count, nb, kb).astype(jnp.float32) * weights[None, None, :]
+        seed.reshape(p_count, nb, kb).astype(dtype)
+        * weights[None, None, :].astype(dtype)
     )                                                    # [P, B, Kb]
     eb = elink_f.reshape(nb, kb, n_cap)                  # [B, Kb, N]
     s_bits = jnp.einsum(
