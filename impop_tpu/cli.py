@@ -843,7 +843,9 @@ def cmd_scan(args) -> int:
             cap_n = _capacity_for([t0.shape[0] for t0, _ in tiles])
             cap_s = max(128, max(t0.shape[1] for t0, _ in tiles))
             cap_s = ((cap_s + 127) // 128) * 128
-            w = len(tiles)
+            # pad a short final batch to the full batch size so it reuses
+            # the compiled program (a fresh shape costs a 15-25 s compile)
+            w = batch_size if len(chunks) > 1 else len(tiles)
             geno = np.full((w, cap_n, cap_s), -1, dtype=np.int8)
             member = np.zeros((w, cap_n), bool)
             smask = np.zeros((w, cap_s), bool)
@@ -1424,13 +1426,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", plat)
-    # Persistent compilation cache: every CLI invocation is a fresh process,
-    # and the fused scan program costs ~10-60 s to compile — without this,
-    # compile time dominates short scans.  TPU-like backends only: CPU AOT
+    # Persistent compilation cache — OPT-IN via IMPOP_TPU_COMPILE_CACHE=1.
+    # On a local TPU it saves the 10-60 s fused-scan compile per fresh
+    # process.  It must not be the default: through remote-compile setups
+    # (the axon tunnel) a cache HIT deserializes via the AOT helper and
+    # measured 337 s for a program that recompiles in 21 s, and XLA:CPU AOT
     # artifacts encode exact host machine features and can SIGILL when
-    # reloaded on a different (or differently-detected) host.  Opt out with
-    # IMPOP_TPU_NO_COMPILE_CACHE=1.
-    if not os.environ.get("IMPOP_TPU_NO_COMPILE_CACHE"):
+    # reloaded across feature-detection differences.
+    if os.environ.get("IMPOP_TPU_COMPILE_CACHE"):
         import jax
 
         backend = jax.default_backend()
