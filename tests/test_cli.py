@@ -109,6 +109,28 @@ def test_cli_afs(fixture_dir):
     assert len(dlines) == 7
 
 
+def test_cli_spectrum(fixture_dir):
+    """Haplotype-by-site matrix, site columns from --first-site-col
+    (op-afs.py:110-117 iterates matrix columns[3:] as sites)."""
+    mat = fixture_dir / "sites.tsv"
+    mat.write_text(
+        "sample\tchrom\thap\ts1\ts2\n"
+        "a\tchr1\t1\t0\t1\n"
+        "b\tchr1\t1\t0\t1\n"
+        "c\tchr1\t2\t1\t1\n"
+        "d\tchr1\t2\t1\t0\n"
+    )
+    out = fixture_dir / "spec.tsv"
+    main(["spectrum", "--input", str(mat), "-o", str(out), "--no-plots"])
+    lines = _lines(out)
+    assert lines[0] == "site\tallele\tcount\tfrequency"
+    # s1: alleles 0 and 1, two each
+    assert "s1\t0\t2\t0.500000" in lines
+    assert "s1\t1\t2\t0.500000" in lines
+    # s2: 3 ones, 1 zero
+    assert "s2\t1\t3\t0.750000" in lines
+
+
 def test_cli_tajd(fixture_dir, rng):
     genodir = fixture_dir / "genodir"
     genodir.mkdir()
