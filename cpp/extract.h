@@ -45,8 +45,11 @@ class FastaReader {
   };
   std::string path_;
   std::unordered_map<std::string, Entry> index_;
-  mutable std::ifstream file_;  // persistent handle (single-threaded use)
+  int fd_ = -1;  // pread-based access: thread-safe, no seek state
   void build_or_load_index();
+
+ public:
+  ~FastaReader();
 };
 
 // ------------------------------------------------------------------ paf

@@ -5,7 +5,9 @@
 #include <fstream>
 #include <sstream>
 #include <stdexcept>
+#include <fcntl.h>
 #include <sys/stat.h>
+#include <unistd.h>
 
 namespace impop {
 
@@ -19,7 +21,14 @@ FastaReader::FastaReader(const std::string& path) : path_(path) {
     throw std::runtime_error("FASTA not found: " + path_);
   }
   build_or_load_index();
-  file_.open(path_, std::ios::binary);
+  fd_ = ::open(path_.c_str(), O_RDONLY);
+  if (fd_ < 0) {
+    throw std::runtime_error("cannot open FASTA: " + path_);
+  }
+}
+
+FastaReader::~FastaReader() {
+  if (fd_ >= 0) ::close(fd_);
 }
 
 void FastaReader::build_or_load_index() {
@@ -94,19 +103,25 @@ std::string FastaReader::fetch(const std::string& name, int64_t start,
   if (start < 0) start = 0;
   if (end > e.length) end = e.length;
   if (start >= end) return "";
-  std::ifstream& in = file_;
-  // One bulk read of the covering byte range, then strip line terminators
-  // in memory — a seek+read per 60-base FASTA line costs ~8k syscall pairs
-  // per 500 kb slice and dominated genome-scale extraction profiles.
+  // One bulk pread of the covering byte range (thread-safe: no shared seek
+  // state), then strip line terminators in memory — a seek+read per
+  // 60-base FASTA line costs ~8k syscall pairs per 500 kb slice and
+  // dominated genome-scale extraction profiles.
   const int64_t line0 = start / e.line_bases;
   const int64_t line1 = (end - 1) / e.line_bases;
   const int64_t byte0 = e.offset + line0 * e.line_bytes + start % e.line_bases;
   const int64_t byte1 =
       e.offset + line1 * e.line_bytes + (end - 1) % e.line_bases + 1;
   std::string raw(static_cast<size_t>(byte1 - byte0), '\0');
-  in.seekg(byte0);
-  in.read(&raw[0], byte1 - byte0);
-  raw.resize(static_cast<size_t>(in.gcount()));
+  int64_t got = 0;
+  while (got < byte1 - byte0) {
+    ssize_t r = ::pread(fd_, &raw[static_cast<size_t>(got)],
+                        static_cast<size_t>(byte1 - byte0 - got),
+                        static_cast<off_t>(byte0 + got));
+    if (r <= 0) break;
+    got += r;
+  }
+  raw.resize(static_cast<size_t>(got));
   std::string out;
   out.reserve(static_cast<size_t>(end - start));
   for (char c : raw) {

@@ -11,7 +11,9 @@
 #include <algorithm>
 #include <cstring>
 #include <map>
+#include <cstdlib>
 #include <stdexcept>
+#include <thread>
 
 namespace impop {
 
@@ -81,15 +83,23 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
 
   std::map<std::string, HapState> haps;
 
-  for (const PafRecord* rec : paf_.overlapping(target, start, end)) {
-    if (rec->cigar.empty()) continue;  // need cg:Z for projection
+  const std::vector<const PafRecord*> recs =
+      paf_.overlapping(target, start, end);
+
+  // Per-record walks are independent until the site-union merge, so they
+  // fan out over a thread shard each (FASTA access is pread-based and
+  // thread-safe); shards merge by row name afterwards, making the result
+  // independent of the thread count.
+  auto walk_record = [&](const PafRecord* rec,
+                         std::map<std::string, HapState>& shard) {
+    if (rec->cigar.empty()) return;  // need cg:Z for projection
 
     // Row identity mirrors impg's "contig:qstart-qend" naming
     // (h-fst.py:24-26 shows the consumed form).
     std::string row_name = rec->query_name + ":" +
                            std::to_string(rec->query_start) + "-" +
                            std::to_string(rec->query_end);
-    HapState& hap = haps[row_name];
+    HapState& hap = shard[row_name];
 
     int64_t tpos = rec->target_start;
     int64_t qi = 0;
@@ -225,6 +235,44 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
       }
     }
     hap.cover_end = std::max(hap.cover_end, std::min(end, tpos));
+  };
+
+  int n_threads = 1;
+  if (const char* env = std::getenv("IMPOP_EXTRACT_THREADS")) {
+    n_threads = std::max(1, std::atoi(env));
+  } else {
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  }
+  n_threads = static_cast<int>(
+      std::min<size_t>(static_cast<size_t>(n_threads),
+                       std::max<size_t>(recs.size() / 4, 1)));
+  if (n_threads <= 1) {
+    for (const PafRecord* rec : recs) walk_record(rec, haps);
+  } else {
+    std::vector<std::map<std::string, HapState>> shards(
+        static_cast<size_t>(n_threads));
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) {
+      pool.emplace_back([&, t]() {
+        for (size_t i = static_cast<size_t>(t); i < recs.size();
+             i += static_cast<size_t>(n_threads)) {
+          walk_record(recs[i], shards[static_cast<size_t>(t)]);
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+    for (auto& shard : shards) {
+      for (auto& [name, hs] : shard) {
+        auto [it, fresh] = haps.try_emplace(name, std::move(hs));
+        if (!fresh) {
+          HapState& dst = it->second;
+          dst.cover_start = std::min(dst.cover_start, hs.cover_start);
+          dst.cover_end = std::max(dst.cover_end, hs.cover_end);
+          dst.variants.insert(dst.variants.end(), hs.variants.begin(),
+                              hs.variants.end());
+        }
+      }
+    }
   }
 
   // Reference row: covers the whole window, no variants (impg similarity
