@@ -26,10 +26,23 @@ namespace impop {
 
 // ------------------------------------------------------------------ fasta
 
-// FAI-indexed random access to a plain-text FASTA file.
+// FAI-indexed random access to a FASTA file.
+//
+// Three storage kinds are detected at open (the reference pipeline's data
+// substrate is bgzip FASTA converted from the HPRC AGC archive,
+// reference doc/where_hprc_data.md:14-26):
+//  - plain text:   pread of the covering byte range (thread-safe);
+//  - BGZF (bgzip): a block index (compressed offset, uncompressed offset)
+//    built by scanning the 18-byte BGZF headers — persisted/loaded in the
+//    samtools ``.gzi`` format — with per-fetch inflation of only the blocks
+//    covering the requested range;
+//  - plain gzip:   no random access is possible in a single-member stream,
+//    so the file is inflated into memory once at open (documented: use
+//    bgzip for large stores).
+// FAI offsets are always in UNCOMPRESSED coordinates (samtools convention).
 class FastaReader {
  public:
-  // Opens path; builds <path>.fai if absent.
+  // Opens path; builds <path>.fai (and <path>.gzi for BGZF) if absent.
   explicit FastaReader(const std::string& path);
   bool has(const std::string& name) const;
   // 0-based half-open [start, end) slice; clamps to sequence length.
@@ -37,16 +50,29 @@ class FastaReader {
   int64_t length(const std::string& name) const;
 
  private:
+  enum class Kind { kPlain, kBgzf, kGzMem };
   struct Entry {
     int64_t length;
-    int64_t offset;      // file offset of first base
+    int64_t offset;      // uncompressed offset of first base
     int64_t line_bases;  // bases per line
     int64_t line_bytes;  // bytes per line (incl newline)
+  };
+  struct Block {
+    int64_t coffset;  // compressed file offset of block start
+    int64_t uoffset;  // cumulative uncompressed offset
   };
   std::string path_;
   std::unordered_map<std::string, Entry> index_;
   int fd_ = -1;  // pread-based access: thread-safe, no seek state
+  Kind kind_ = Kind::kPlain;
+  std::vector<Block> blocks_;  // BGZF block index, uoffset-sorted
+  int64_t total_usize_ = 0;    // total uncompressed bytes (BGZF)
+  std::string mem_;            // whole inflated file (plain gzip only)
+  void detect_kind();
+  void build_or_load_block_index();
   void build_or_load_index();
+  // Uncompressed byte range [off, off+len) into out; returns bytes read.
+  int64_t read_raw(int64_t off, int64_t len, char* out) const;
 
  public:
   ~FastaReader();

@@ -201,6 +201,21 @@ def _open_extractor(paf: str, fasta: str, use_native: bool = True):
     return PyExtractor(paf, fasta)
 
 
+def _resolve_fasta(args) -> Optional[str]:
+    """--fasta, or --agc auto-converted once to a cached BGZF FASTA store
+    (extract/agc.py) so AGC-format inputs run natively with no external impg
+    (the reference shells to impg per window, run_pica2_impg.sh:162-168)."""
+    fasta = getattr(args, "fasta", None)
+    if fasta:
+        return fasta
+    agc = getattr(args, "agc", None)
+    if agc:
+        from impop_tpu.extract.agc import ensure_fasta_store
+
+        return ensure_fasta_store(agc, getattr(args, "agc_bin", "agc"))
+    return None
+
+
 def _make_sim_source(args) -> SimSource:
     if getattr(args, "sim_dir", None):
         return DirSimSource(args.sim_dir, args.round)
@@ -209,15 +224,16 @@ def _make_sim_source(args) -> SimSource:
     if getattr(args, "gfa_dir", None):
         return GenoSimSource(args.round, gfa_dir=args.gfa_dir)
     if getattr(args, "paf", None):
-        if getattr(args, "fasta", None):
-            return GenoSimSource(args.round, paf=args.paf, fasta=args.fasta)
-        if getattr(args, "agc", None):
+        if getattr(args, "agc", None) and getattr(args, "use_impg", False):
             return ImpgSimSource(args.paf, args.agc, args.round,
                                  getattr(args, "subset", None))
+        fasta = _resolve_fasta(args)
+        if fasta:
+            return GenoSimSource(args.round, paf=args.paf, fasta=fasta)
     raise SystemExit(
         "error: provide --sim-dir (per-window TSVs), --geno-dir (allele "
-        "tiles), --paf + --fasta (native extraction), or --paf + --agc "
-        "(external impg)"
+        "tiles), --paf + --fasta / --paf + --agc (native extraction), or "
+        "--paf + --agc --use-impg (external impg compat)"
     )
 
 
@@ -687,11 +703,12 @@ def cmd_scan(args) -> int:
     geno_src = (GenoSource(args.geno_dir) if args.geno_dir
                 else GfaDirSource(args.gfa_dir) if getattr(args, "gfa_dir", None)
                 else None)
-    extractor = (_open_extractor(args.paf, args.fasta)
-                 if args.paf and args.fasta else None)
+    fasta_store = _resolve_fasta(args)
+    extractor = (_open_extractor(args.paf, fasta_store)
+                 if args.paf and fasta_store else None)
     if geno_src is None and extractor is None:
-        raise SystemExit("error: provide --geno-dir, --gfa-dir, or "
-                         "--paf + --fasta")
+        raise SystemExit("error: provide --geno-dir, --gfa-dir, "
+                         "--paf + --fasta, or --paf + --agc")
 
     panel_files = sorted(args.panel or [])
     panel_names = [_panel_label(p) for p in panel_files]
@@ -1085,7 +1102,10 @@ def cmd_extract(args) -> int:
 
     regions = read_bed(args.bed)
     os.makedirs(args.out_dir, exist_ok=True)
-    extractor = _open_extractor(args.paf, args.fasta,
+    fasta_store = _resolve_fasta(args)
+    if not fasta_store:
+        raise SystemExit("error: provide --fasta or --agc")
+    extractor = _open_extractor(args.paf, fasta_store,
                                 use_native=not args.python)
     if args.split:
         # one CIGAR walk per BED row, then column-slice per window (the
@@ -1141,7 +1161,7 @@ def cmd_extract(args) -> int:
             from impop_tpu.extract.pyfallback import fetch_fasta_window
 
             target = rs.rsplit(":", 1)[0]
-            ref_seq = fetch_fasta_window(args.fasta, target, reg.start,
+            ref_seq = fetch_fasta_window(fasta_store, target, reg.start,
                                          reg.end)
             with open(os.path.join(args.out_dir,
                                    f"{_sanitize(rs)}.gfa"), "w") as fh:
@@ -1189,6 +1209,45 @@ def cmd_gfa2vcf(args) -> int:
 # --------------------------------------------------------------- utilities
 
 
+def cmd_import_agc(args) -> int:
+    """AGC archive → random-access BGZF FASTA store (extract/agc.py).
+
+    The one-command replacement for the reference's reliance on passing
+    ``--sequence-files *.agc`` to impg per window
+    (run_pica2_impg.sh:162-168): convert once, then every driver runs
+    natively from the store."""
+    from impop_tpu.extract.agc import convert_agc, list_samples
+
+    if args.list:
+        for name in list_samples(args.archive, args.agc_bin):
+            print(name)
+        return 0
+    samples = read_panel_file(args.samples) if args.samples else None
+    out = args.output or (args.archive + ".impop.fa.gz")
+    convert_agc(args.archive, out, samples=samples, agc_bin=args.agc_bin,
+                prefix_sample=args.prefix_sample)
+    if args.index:
+        # force .fai/.gzi creation now (otherwise built on first use)
+        try:
+            from impop_tpu.extract import load_library
+
+            lib = load_library()
+            # open with an empty PAF to trigger FastaReader indexing
+            empty_paf = out + ".noalign.paf"
+            with open(empty_paf, "w"):
+                pass
+            h = lib.ix_open(empty_paf.encode(), out.encode())
+            err = lib.ix_error(h)
+            lib.ix_close(h)
+            os.remove(empty_paf)
+            if err:
+                raise RuntimeError(err.decode())
+        except Exception as e:
+            _warn(f"Warning: indexing deferred to first use ({e})")
+    _warn(f"wrote {out}")
+    return 0
+
+
 def cmd_makewindows(args) -> int:
     out = _out_stream(args.output)
     try:
@@ -1222,7 +1281,14 @@ def _add_sim_args(p):
     p.add_argument("--paf", help="PAF alignment file")
     p.add_argument("--fasta", help="FASTA sequence store "
                                    "(native extraction with --paf)")
-    p.add_argument("--agc", help="AGC archive (external impg with --paf)")
+    p.add_argument("--agc", help="AGC archive; auto-converted once to a "
+                                 "cached BGZF FASTA store for native "
+                                 "extraction (see import-agc)")
+    p.add_argument("--agc-bin", default="agc",
+                   help="agc binary used for the one-time conversion")
+    p.add_argument("--use-impg", action="store_true",
+                   help="with --paf + --agc: shell out to external impg per "
+                        "window (reference compat) instead of converting")
     p.add_argument("--gfa-dir", help="directory of per-window variation "
                                      "graphs (<region>.gfa) to ingest")
 
@@ -1320,6 +1386,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--geno-dir", help="directory of per-window .npz tiles")
     p.add_argument("--gfa-dir", help="directory of per-window .gfa graphs")
     p.add_argument("--paf"); p.add_argument("--fasta")
+    p.add_argument("--agc", help="AGC archive (one-time cached conversion "
+                                 "to a BGZF FASTA store)")
+    p.add_argument("--agc-bin", default="agc")
     p.add_argument("--panel", action="append", default=[],
                    help="panel list file (repeatable, e.g. metadata/agc.EUR)")
     p.add_argument("-P", "--prefix", default="CHM13#0#")
@@ -1357,7 +1426,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="PAF+FASTA -> per-window allele tiles (.npz)")
     p.add_argument("-b", "--bed", required=True)
     p.add_argument("--paf", required=True)
-    p.add_argument("--fasta", required=True)
+    p.add_argument("--fasta")
+    p.add_argument("--agc", help="AGC archive (one-time cached conversion)")
+    p.add_argument("--agc-bin", default="agc")
     p.add_argument("--out-dir", required=True)
     p.add_argument("-P", "--prefix", default="CHM13#0#")
     p.add_argument("--python", action="store_true",
@@ -1389,6 +1460,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", help="output VCF (default: stdout)")
     p.add_argument("--npz", help="also write the allele tile as .npz")
     p.set_defaults(func=cmd_gfa2vcf)
+
+    p = sub.add_parser("import-agc",
+                       help="AGC archive -> random-access BGZF FASTA store")
+    p.add_argument("archive", help="input .agc archive")
+    p.add_argument("-o", "--output",
+                   help="output store (default: <archive>.impop.fa.gz)")
+    p.add_argument("--samples", help="panel list file: convert only these "
+                                     "assemblies")
+    p.add_argument("--prefix-sample", action="store_true",
+                   help="prefix contig names with '<sample>#' (for archives "
+                        "whose contig names collide across assemblies)")
+    p.add_argument("--agc-bin", default="agc")
+    p.add_argument("--list", action="store_true",
+                   help="list assemblies in the archive and exit")
+    p.add_argument("--index", action="store_true",
+                   help="build the .fai/.gzi indexes immediately")
+    p.set_defaults(func=cmd_import_agc)
 
     p = sub.add_parser("makewindows", help="fixed-width windows from a region")
     p.add_argument("--bed", help="BED of base intervals")

@@ -101,6 +101,56 @@ def test_cpp_gzip_paf(tmp_path):
         np.testing.assert_array_equal(a.geno, b.geno)
 
 
+@pytest.mark.skipif(not HAVE_TOOLCHAIN, reason="no C++ toolchain")
+def test_cpp_bgzf_fasta(tmp_path):
+    """BGZF-compressed FASTA: native random access == plain-text access,
+    and the block index round-trips through the samtools .gzi format."""
+    from impop_tpu.extract import NativeExtractor
+    from impop_tpu.io.bgzf import write_bgzf
+
+    sim = simulate(str(tmp_path), ref_len=3000, n_haps=6, n_snps=8, seed=17,
+                   span=(0, 3000))
+    bgz = sim.fasta_path + ".bgz.gz"
+    with open(sim.fasta_path, "rb") as fin:
+        # small chunks force several BGZF blocks per sequence
+        data = fin.read()
+    write_bgzf(bgz, [data[i:i + 1024] for i in range(0, len(data), 1024)])
+
+    py = PyExtractor(sim.paf_path, sim.fasta_path)
+    with NativeExtractor(sim.paf_path, bgz) as cc:
+        for (start, end) in ((0, 3000), (751, 2250)):
+            a = py.extract(sim.ref_name, start, end)
+            b = cc.extract(sim.ref_name, start, end)
+            assert a.names == b.names
+            assert a.site_keys == b.site_keys
+            np.testing.assert_array_equal(a.geno, b.geno)
+    # .gzi + .fai persisted; a fresh reader must load them and agree
+    assert os.path.exists(bgz + ".gzi") and os.path.exists(bgz + ".fai")
+    with NativeExtractor(sim.paf_path, bgz) as cc2:
+        a = py.extract(sim.ref_name, 100, 2900)
+        b = cc2.extract(sim.ref_name, 100, 2900)
+        np.testing.assert_array_equal(a.geno, b.geno)
+
+
+@pytest.mark.skipif(not HAVE_TOOLCHAIN, reason="no C++ toolchain")
+def test_cpp_plain_gzip_fasta(tmp_path):
+    """Single-member gzip FASTA (no random access): whole-file inflate path."""
+    import gzip
+
+    from impop_tpu.extract import NativeExtractor
+
+    sim = simulate(str(tmp_path), ref_len=1200, n_haps=4, n_snps=5, seed=23)
+    gz = sim.fasta_path + ".gz"
+    with open(sim.fasta_path, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    py = PyExtractor(sim.paf_path, sim.fasta_path)
+    with NativeExtractor(sim.paf_path, gz) as cc:
+        a = py.extract(sim.ref_name, 50, 1150)
+        b = cc.extract(sim.ref_name, 50, 1150)
+        assert a.names == b.names
+        np.testing.assert_array_equal(a.geno, b.geno)
+
+
 def test_extract_to_stats_end_to_end(tmp_path):
     """Planted SNPs flow through extraction into the TPU S/pi statistics."""
     import jax
