@@ -136,13 +136,26 @@ class ImpgSimSource(SimSource):
 
 class GenoSimSource(SimSource):
     """Identity matrices derived from allele tiles (.npz windows or live
-    native extraction from PAF+FASTA) — the impg-free path."""
+    native extraction from PAF+FASTA) — the impg-free path.
+
+    The pairwise difference counts run on the DEVICE (stats/allele
+    .pairwise_diff — the same kernel the fused scan uses); counts are exact
+    integers in f32, so the final ``1 − diff/length`` division and decimal
+    rounding stay host-side in f64, preserving the reference's
+    round-half-even parity contract (io/simtsv.round_half_even).
+
+    ``identity_mode`` selects the deviation spec of doc/how_stats.md:
+    "events" (default) counts one difference per variant record; "columns"
+    weighs indels by their base length, matching alignment-column identity.
+    """
 
     def __init__(self, round_digits: Optional[int],
                  geno_dir: Optional[str] = None,
                  paf: Optional[str] = None, fasta: Optional[str] = None,
-                 use_native: bool = True, gfa_dir: Optional[str] = None):
+                 use_native: bool = True, gfa_dir: Optional[str] = None,
+                 identity_mode: str = "events"):
         self.round_digits = round_digits
+        self.identity_mode = identity_mode
         self.geno_src = (GenoSource(geno_dir) if geno_dir
                          else GfaDirSource(gfa_dir) if gfa_dir else None)
         self.extractor = None
@@ -155,27 +168,44 @@ class GenoSimSource(SimSource):
 
         reg = parse_region(region)
         if self.geno_src is not None:
-            geno, names = self.geno_src.load(region)
+            geno, names, site_keys = self.geno_src.load(region)
         elif self.extractor is not None:
             wm = self.extractor.extract(reg.chrom, reg.start, reg.end)
-            geno, names = wm.geno, wm.names
+            geno, names, site_keys = wm.geno, wm.names, wm.site_keys
         else:
             raise WindowError(f"no allele source for region {region}")
         order = np.argsort(names)
-        geno = np.asarray(geno, dtype=np.int16)[order]
+        geno = np.asarray(geno, dtype=np.int8)[order]
         names = [names[i] for i in order]
-        n = len(names)
+        n, s = geno.shape
         length = max(reg.length, 1)
-        valid = geno >= 0
-        g = np.where(valid, geno, 0)
-        # pairwise difference over mutually-valid sites: compared - matches,
-        # matches as one-hot gram matrices (host-side numpy; windows are small)
-        compared = valid.astype(np.float64) @ valid.T
-        match = np.zeros((n, n))
-        for a in range(int(g.max(initial=0)) + 1):
-            xa = ((g == a) & valid).astype(np.float64)
-            match += xa @ xa.T
-        diff = compared - match
+
+        weights = None
+        if self.identity_mode == "columns":
+            if site_keys is None:
+                _warn(f"Warning: no site keys for {region}; "
+                      "columns identity falls back to events")
+            else:
+                from impop_tpu.extract import site_weights_from_keys
+
+                weights = site_weights_from_keys(site_keys)
+
+        cap_n = _capacity_for([n])
+        cap_s = max(8, ((s + 127) // 128) * 128)
+        g = np.full((cap_n, cap_s), -1, dtype=np.int8)
+        g[:n, :s] = geno
+        member = np.zeros(cap_n, bool); member[:n] = True
+        smask = np.zeros(cap_s, bool); smask[:s] = True
+        w = None
+        if weights is not None:
+            w = np.zeros(cap_s, np.float32)
+            w[:s] = weights
+        num_alleles = int(geno.max(initial=1)) + 1
+        diff_d, compared_d = _pairwise_diff_jit(num_alleles)(
+            g, member, smask, w
+        )
+        diff = np.asarray(diff_d, dtype=np.float64)[:n, :n]
+        compared = np.asarray(compared_d, dtype=np.float64)[:n, :n]
         sim = 1.0 - diff / length
         present = compared > 0
         np.fill_diagonal(present, True)
@@ -185,6 +215,29 @@ class GenoSimSource(SimSource):
             sim = round_half_even(sim, self.round_digits)
         return SimilarityMatrix(names=names, sim=sim, present=present,
                                 pair_count=n * (n - 1) // 2)
+
+
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=8)
+def _pairwise_diff_jit(num_alleles: int):
+    import jax
+
+    from impop_tpu.stats.allele import pairwise_diff
+
+    def run(g, member, smask, w):
+        return pairwise_diff(g, member, smask, num_alleles, w)
+
+    jitted = jax.jit(run)
+    jitted_nw = jax.jit(lambda g, m, s: pairwise_diff(g, m, s, num_alleles))
+
+    def dispatch(g, member, smask, w):
+        if w is None:
+            return jitted_nw(g, member, smask)
+        return jitted(g, member, smask, w)
+
+    return dispatch
 
 
 def _open_extractor(paf: str, fasta: str, use_native: bool = True):
@@ -217,19 +270,23 @@ def _resolve_fasta(args) -> Optional[str]:
 
 
 def _make_sim_source(args) -> SimSource:
+    mode = getattr(args, "identity_mode", "events")
     if getattr(args, "sim_dir", None):
         return DirSimSource(args.sim_dir, args.round)
     if getattr(args, "geno_dir", None):
-        return GenoSimSource(args.round, geno_dir=args.geno_dir)
+        return GenoSimSource(args.round, geno_dir=args.geno_dir,
+                             identity_mode=mode)
     if getattr(args, "gfa_dir", None):
-        return GenoSimSource(args.round, gfa_dir=args.gfa_dir)
+        return GenoSimSource(args.round, gfa_dir=args.gfa_dir,
+                             identity_mode=mode)
     if getattr(args, "paf", None):
         if getattr(args, "agc", None) and getattr(args, "use_impg", False):
             return ImpgSimSource(args.paf, args.agc, args.round,
                                  getattr(args, "subset", None))
         fasta = _resolve_fasta(args)
         if fasta:
-            return GenoSimSource(args.round, paf=args.paf, fasta=fasta)
+            return GenoSimSource(args.round, paf=args.paf, fasta=fasta,
+                                 identity_mode=mode)
     raise SystemExit(
         "error: provide --sim-dir (per-window TSVs), --geno-dir (allele "
         "tiles), --paf + --fasta / --paf + --agc (native extraction), or "
@@ -239,18 +296,22 @@ def _make_sim_source(args) -> SimSource:
 
 class GenoSource:
     """Per-window allele tiles: ``<region>.npz`` with arrays ``geno``
-    ([n, s] int8, -1 missing) and ``names`` ([n] str)."""
+    ([n, s] int8, -1 missing), ``names`` ([n] str) and optional
+    ``site_keys`` ([s] str, "pos:ref>alt")."""
 
     def __init__(self, directory: str):
         self.directory = directory
 
-    def load(self, region: str) -> Tuple[np.ndarray, List[str]]:
+    def load(self, region: str
+             ) -> Tuple[np.ndarray, List[str], Optional[List[str]]]:
         for cand in (f"{region}.npz", f"{_sanitize(region)}.npz"):
             path = os.path.join(self.directory, cand)
             if os.path.exists(path):
                 data = np.load(path, allow_pickle=False)
                 names = [str(x) for x in data["names"]]
-                return data["geno"].astype(np.int8), names
+                keys = ([str(x) for x in data["site_keys"]]
+                        if "site_keys" in data else None)
+                return data["geno"].astype(np.int8), names, keys
         raise WindowError(f"no allele tile for region {region} "
                           f"in {self.directory}")
 
@@ -264,7 +325,8 @@ class GfaDirSource:
         self.directory = directory
         self.ref_path = ref_path
 
-    def load(self, region: str) -> Tuple[np.ndarray, List[str]]:
+    def load(self, region: str
+             ) -> Tuple[np.ndarray, List[str], Optional[List[str]]]:
         from impop_tpu.extract.gfa import alleles_from_gfa, read_gfa
 
         for cand in (f"{region}.gfa", f"{_sanitize(region)}.gfa"):
@@ -273,7 +335,7 @@ class GfaDirSource:
                 wm, _ = alleles_from_gfa(read_gfa(path),
                                          ref_path=self.ref_path,
                                          include_ref_row=True)
-                return wm.geno, wm.names
+                return wm.geno, wm.names, wm.site_keys
         raise WindowError(f"no window GFA for region {region} "
                           f"in {self.directory}")
 
@@ -500,7 +562,7 @@ def cmd_tajd(args) -> int:
     sample_list = read_panel_file(args.samples) if args.samples else None
 
     kept: List[Region] = []
-    tiles: List[Tuple[np.ndarray, List[str]]] = []
+    tiles: List[Tuple[np.ndarray, List[str], Optional[List[str]]]] = []
     region_strings: List[str] = []
     for reg in regions:
         rs = reg.region_string(args.prefix)
@@ -526,7 +588,7 @@ def cmd_tajd(args) -> int:
         site_mask = np.zeros((w, cap_s), dtype=bool)
         panels = np.zeros((w, 1, cap_n), dtype=bool)
         lengths = np.zeros((w,), dtype=np.float32)
-        for wi, ((g, names), reg) in enumerate(zip(tiles, kept)):
+        for wi, ((g, names, _keys), reg) in enumerate(zip(tiles, kept)):
             order = np.argsort(names)
             g = g[order]
             names = [names[i] for i in order]
@@ -747,8 +809,18 @@ def cmd_scan(args) -> int:
     pair_a = jnp.asarray([i for i, _ in pair_list] or [0], jnp.int32)
     pair_b = jnp.asarray([j for _, j in pair_list] or [0], jnp.int32)
 
-    def one_window(g, m, smask, panels1, length):
-        sim, present = identity_from_alleles(g, m, smask, length)
+    use_weights = getattr(args, "identity_mode", "events") == "columns"
+    want_afs = bool(getattr(args, "afs", None))
+    afs_bins = getattr(args, "afs_bins", 512)
+    afs_folded = not getattr(args, "afs_unfolded", False)
+
+    def one_window(g, m, smask, panels1, length, wts):
+        from impop_tpu.stats.allele import panel_afs
+
+        sim, present = identity_from_alleles(
+            g, m, smask, length,
+            site_weights=wts if use_weights else None,
+        )
         s_count = segregating_sites(g, m, smask)
         res = fused_panel_stats(sim, present, m, panels1, pair_a, pair_b, t)
         pi_panel = res.pi[:panels1.shape[0]]
@@ -761,7 +833,10 @@ def cmd_scan(args) -> int:
                        (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0),
                        jnp.nan)
         n_all = jnp.sum(m.astype(jnp.int32))
-        return pi_panel, d, fst, f3, s_count, n_all
+        afs = (panel_afs(g, m, smask, panels1, afs_bins, afs_folded)
+               if want_afs
+               else jnp.zeros((panels1.shape[0], 1), jnp.int32))
+        return pi_panel, d, fst, f3, s_count, n_all, afs
 
     # shard the window batch over every LOCAL device; a single chip
     # degenerates to plain placement.  Multi-device uses shard_map (not
@@ -783,7 +858,7 @@ def cmd_scan(args) -> int:
         spec = P("data")
         step = jax.jit(shard_map(
             jax.vmap(one_window), mesh=mesh,
-            in_specs=(spec,) * 5, out_specs=spec,
+            in_specs=(spec,) * 6, out_specs=spec,
         ))
     else:
         step = jax.jit(jax.vmap(one_window))
@@ -806,6 +881,9 @@ def cmd_scan(args) -> int:
             )
         return tuple(padded)
 
+    afs_total = (np.zeros((p_count, afs_bins + 1), np.int64)
+                 if want_afs else None)
+
     out = _out_stream(args.output)
     try:
         print("\t".join(header), file=out)
@@ -815,6 +893,15 @@ def cmd_scan(args) -> int:
             rec = journal.get(rs)
             if rec is not None and "row" in rec:
                 print(rec["row"], file=out)
+                if want_afs:
+                    sparse = rec.get("afs")
+                    if sparse is None:
+                        _warn(f"Warning: journal row for {rs} predates "
+                              "--afs; spectrum will miss it")
+                    else:
+                        for pk, c in sparse.items():
+                            pi_idx, k = map(int, pk.split(":"))
+                            afs_total[pi_idx, k] += int(c)
                 continue
             pending.append((reg, rs))
 
@@ -827,17 +914,17 @@ def cmd_scan(args) -> int:
             for reg, rs in chunk:
                 try:
                     if geno_src is not None:
-                        g, names = geno_src.load(rs)
+                        g, names, keys = geno_src.load(rs)
                     else:
                         wm = extractor.extract(rs.rsplit(":", 1)[0],
                                                reg.start, reg.end)
-                        g, names = wm.geno, wm.names
+                        g, names, keys = wm.geno, wm.names, wm.site_keys
                 except Exception as e:
                     failures.append((rs, str(e)))
                     continue
                 order = np.argsort(names)
                 tiles.append((np.asarray(g, np.int8)[order],
-                              [names[i] for i in order]))
+                              [names[i] for i in order], keys))
                 kept.append((reg, rs))
             return tiles, kept, failures
 
@@ -857,8 +944,8 @@ def cmd_scan(args) -> int:
                 journal.record_failure(rs, err)
             if not tiles:
                 continue
-            cap_n = _capacity_for([t0.shape[0] for t0, _ in tiles])
-            cap_s = max(128, max(t0.shape[1] for t0, _ in tiles))
+            cap_n = _capacity_for([t0.shape[0] for t0, *_ in tiles])
+            cap_s = max(128, max(t0.shape[1] for t0, *_ in tiles))
             cap_s = ((cap_s + 127) // 128) * 128
             # pad a short final batch to the full batch size so it reuses
             # the compiled program (a fresh shape costs a 15-25 s compile)
@@ -868,22 +955,29 @@ def cmd_scan(args) -> int:
             smask = np.zeros((w, cap_s), bool)
             panels = np.zeros((w, p_count, cap_n), bool)
             lengths = np.zeros(w, np.float32)
-            for wi, ((g, names), (reg, rs)) in enumerate(zip(tiles, kept)):
+            wts = np.ones((w, cap_s), np.float32)
+            for wi, ((g, names, keys), (reg, rs)) in enumerate(
+                    zip(tiles, kept)):
                 n, s = g.shape
                 geno[wi, :n, :s] = g
                 member[wi, :n] = True
                 smask[wi, :s] = True
                 lengths[wi] = reg.length
+                if use_weights and keys is not None:
+                    from impop_tpu.extract import site_weights_from_keys
+
+                    wts[wi, :s] = site_weights_from_keys(keys)
                 if panel_lists:
                     panels[wi, :, :n] = panel_masks_for(tuple(names))
                 else:
                     panels[wi, 0, :n] = True
             with timers.stage("h2d"):
-                dev_args = put_batch((geno, member, smask, panels, lengths))
+                dev_args = put_batch((geno, member, smask, panels, lengths,
+                                      wts))
             with timers.stage("device"):
                 out_dev = step(*dev_args)
                 jax.block_until_ready(out_dev)
-            pi_v, d_v, fst_v, f3_v, s_v, n_v = jax.tree_util.tree_map(
+            pi_v, d_v, fst_v, f3_v, s_v, n_v, afs_v = jax.tree_util.tree_map(
                 np.asarray, out_dev
             )
             timers.add_windows(len(kept))
@@ -904,15 +998,159 @@ def cmd_scan(args) -> int:
                             "NA" if np.isnan(f3_val) else f"{f3_val:.8f}",
                         ]
                 row = "\t".join(cells)
-                journal.record(rs, {"row": row})
+                rec = {"row": row}
+                if want_afs:
+                    # journal the window's spectrum sparsely so a resumed
+                    # scan still merges it (allele count 0 = monomorphic
+                    # padding, never meaningful)
+                    sparse = {}
+                    for pi_idx in range(p_count):
+                        hist = afs_v[wi, pi_idx]
+                        for k in np.nonzero(hist)[0]:
+                            if k == 0:
+                                continue
+                            sparse[f"{pi_idx}:{int(k)}"] = int(hist[k])
+                            afs_total[pi_idx, k] += int(hist[k])
+                    rec["afs"] = sparse
+                journal.record(rs, rec)
                 print(row, file=out)
         pool.shutdown(wait=False)
         trace_ctx.__exit__(None, None, None)
     finally:
         if out is not sys.stdout:
             out.close()
+    if want_afs:
+        with open(args.afs, "w") as fh:
+            names_hdr = panel_names or ["ALL"]
+            fh.write("ALLELE_COUNT\t" +
+                     "\t".join(f"SITES_{n}" for n in names_hdr) + "\n")
+            for k in range(1, afs_bins + 1):
+                if afs_total[:, k].any():
+                    fh.write(f"{k}\t" + "\t".join(
+                        str(int(afs_total[pi_idx, k]))
+                        for pi_idx in range(p_count)) + "\n")
+        _warn(f"wrote genome-wide spectrum -> {args.afs}")
     if args.verbose_timing:
         _warn(timers.report())
+    return 0
+
+
+# --------------------------------------------------------------- sfs
+
+
+def cmd_sfs(args) -> int:
+    """Site-frequency spectrum straight from allele tiles — the tile-native
+    capability the reference approximates with text-table post-processing
+    (wip/op-afs.py:26-45): per-window per-panel histograms of derived (or
+    folded minor) allele counts, merged into a genome-wide spectrum on
+    device.  One batched program computes every (window, panel) histogram.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.io.panels import expand_population
+    from impop_tpu.stats.allele import panel_afs
+
+    regions = read_bed(args.bed)
+    geno_src = (GenoSource(args.geno_dir) if args.geno_dir
+                else GfaDirSource(args.gfa_dir) if args.gfa_dir else None)
+    fasta_store = _resolve_fasta(args)
+    extractor = (_open_extractor(args.paf, fasta_store)
+                 if args.paf and fasta_store else None)
+    if geno_src is None and extractor is None:
+        raise SystemExit("error: provide --geno-dir, --gfa-dir, "
+                         "--paf + --fasta, or --paf + --agc")
+
+    panel_files = sorted(args.panel or [])
+    panel_names = [_panel_label(p) for p in panel_files] or ["ALL"]
+    panel_lists = [read_panel_file(p) for p in panel_files]
+    p_count = len(panel_names)
+
+    kept, tiles = [], []
+    for reg in regions:
+        rs = reg.region_string(args.prefix)
+        try:
+            if geno_src is not None:
+                g, names, _keys = geno_src.load(rs)
+            else:
+                wm = extractor.extract(rs.rsplit(":", 1)[0],
+                                       reg.start, reg.end)
+                g, names = wm.geno, wm.names
+        except Exception as e:
+            _warn(f"Warning: {rs}: {e}; skipping window")
+            continue
+        order = np.argsort(names)
+        tiles.append((np.asarray(g, np.int8)[order],
+                      [names[i] for i in order]))
+        kept.append((reg, rs))
+
+    out = _out_stream(args.output)
+    try:
+        if not kept:
+            _warn("Warning: no windows could be processed")
+            print("ALLELE_COUNT\t" +
+                  "\t".join(f"SITES_{n}" for n in panel_names), file=out)
+            return 0
+        cap_n = _capacity_for([t[0].shape[0] for t in tiles])
+        cap_s = max(8, ((max(t[0].shape[1] for t in tiles) + 127) // 128)
+                    * 128)
+        w = len(tiles)
+        geno = np.full((w, cap_n, cap_s), -1, dtype=np.int8)
+        member = np.zeros((w, cap_n), bool)
+        smask = np.zeros((w, cap_s), bool)
+        panels = np.zeros((w, p_count, cap_n), bool)
+        for wi, (g, names) in enumerate(tiles):
+            n, s = g.shape
+            geno[wi, :n, :s] = g
+            member[wi, :n] = True
+            smask[wi, :s] = True
+            if not panel_lists:
+                panels[wi, 0, :n] = True
+            else:
+                for pi_idx, plist in enumerate(panel_lists):
+                    matched, _ = expand_population(plist, names)
+                    for k, nm in enumerate(names):
+                        if nm in matched:
+                            panels[wi, pi_idx, k] = True
+
+        max_n = args.max_n or cap_n
+        folded = not args.unfolded
+
+        @jax.jit
+        def run(g, m, sm, p):
+            per_win = jax.vmap(
+                lambda g1, m1, s1, p1: panel_afs(g1, m1, s1, p1, max_n,
+                                                 folded)
+            )(g, m, sm, p)  # [W, P, K]
+            return per_win, jnp.sum(per_win, axis=0)
+
+        per_win, merged = run(jnp.asarray(geno), jnp.asarray(member),
+                              jnp.asarray(smask), jnp.asarray(panels))
+        per_win = np.asarray(per_win)
+        merged = np.asarray(merged)  # [P, K]
+
+        print("ALLELE_COUNT\t" +
+              "\t".join(f"SITES_{n}" for n in panel_names), file=out)
+        top = max_n // 2 if folded else max_n
+        for k in range(1, top + 1):
+            if merged[:, k].any() or k <= (args.max_n or 0):
+                print(f"{k}\t" + "\t".join(str(int(merged[pi, k]))
+                                           for pi in range(p_count)),
+                      file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+
+    if args.per_window:
+        with open(args.per_window, "w") as fh:
+            fh.write("REGION\tPANEL\tALLELE_COUNT\tSITES\n")
+            for wi, (reg, rs) in enumerate(kept):
+                for pi_idx, pname in enumerate(panel_names):
+                    hist = per_win[wi, pi_idx]
+                    for k in np.nonzero(hist)[0]:
+                        if k == 0:
+                            continue
+                        fh.write(f"{rs}\t{pname}\t{k}\t{int(hist[k])}\n")
     return 0
 
 
@@ -1291,6 +1529,12 @@ def _add_sim_args(p):
                         "window (reference compat) instead of converting")
     p.add_argument("--gfa-dir", help="directory of per-window variation "
                                      "graphs (<region>.gfa) to ingest")
+    p.add_argument("--identity-mode", choices=["events", "columns"],
+                   default="events",
+                   help="native identity deviation spec (doc/how_stats.md): "
+                        "'events' counts 1 per variant record; 'columns' "
+                        "weighs indels by base length (alignment-column "
+                        "semantics, closest to impg similarity)")
 
 
 def _add_common(p):
@@ -1381,6 +1625,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "(op-afs.py:40-44 behaviour)")
     p.set_defaults(func=cmd_spectrum)
 
+    p = sub.add_parser("sfs", help="site-frequency spectrum from allele "
+                                   "tiles (per-panel, genome-wide merge)")
+    p.add_argument("-b", "--bed", required=True)
+    p.add_argument("--geno-dir"); p.add_argument("--gfa-dir")
+    p.add_argument("--paf"); p.add_argument("--fasta")
+    p.add_argument("--agc"); p.add_argument("--agc-bin", default="agc")
+    p.add_argument("--panel", action="append", default=[],
+                   help="panel list file (repeatable); default: all rows")
+    p.add_argument("-P", "--prefix", default="CHM13#0#")
+    p.add_argument("-o", "--output")
+    p.add_argument("--unfolded", action="store_true",
+                   help="derived-allele spectrum (default: folded minor)")
+    p.add_argument("--max-n", type=int, default=None,
+                   help="histogram bins (default: haplotype capacity)")
+    p.add_argument("--per-window",
+                   help="also write per-window spectra to this TSV")
+    p.set_defaults(func=cmd_sfs)
+
     p = sub.add_parser("scan", help="fused pi+Fst+TajD scan with resume")
     p.add_argument("-b", "--bed", required=True)
     p.add_argument("--geno-dir", help="directory of per-window .npz tiles")
@@ -1389,6 +1651,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--agc", help="AGC archive (one-time cached conversion "
                                  "to a BGZF FASTA store)")
     p.add_argument("--agc-bin", default="agc")
+    p.add_argument("--identity-mode", choices=["events", "columns"],
+                   default="events",
+                   help="identity deviation spec (doc/how_stats.md)")
+    p.add_argument("--afs", help="also merge a genome-wide per-panel "
+                                 "site-frequency spectrum into this TSV "
+                                 "(journal-aware on resume)")
+    p.add_argument("--afs-bins", type=int, default=512,
+                   help="spectrum histogram bins (default 512)")
+    p.add_argument("--afs-unfolded", action="store_true",
+                   help="derived-allele spectrum (default: folded minor)")
     p.add_argument("--panel", action="append", default=[],
                    help="panel list file (repeatable, e.g. metadata/agc.EUR)")
     p.add_argument("-P", "--prefix", default="CHM13#0#")

@@ -20,7 +20,7 @@ from typing import List, NamedTuple, Optional
 
 import numpy as np
 
-__all__ = ["WindowMatrix", "NativeExtractor", "load_library", "library_path", "split_window_matrix"]
+__all__ = ["WindowMatrix", "NativeExtractor", "load_library", "library_path", "split_window_matrix", "site_weights_from_keys"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _CPP_DIR = os.path.join(_REPO_ROOT, "cpp")
@@ -145,6 +145,27 @@ class NativeExtractor:
             return WindowMatrix(names, site_keys, site_pos, geno)
         finally:
             self._lib.ix_result_free(res)
+
+
+def site_weights_from_keys(site_keys) -> np.ndarray:
+    """Column-mode identity weights from variant keys ("pos:ref>alt").
+
+    A SNP weighs 1 alignment column; an indel of k bases weighs k (gap
+    columns in a pairwise alignment).  Placeholder alleles from windows
+    without query sequence (``<INSk>``) decode their stored length.  See
+    doc/how_stats.md "Identity definition and impg parity".
+    """
+    w = np.ones(len(site_keys), dtype=np.float32)
+    for i, key in enumerate(site_keys):
+        _, rest = key.split(":", 1)
+        ref, alt = rest.split(">", 1)
+        if alt.startswith("<INS") and alt.endswith(">"):
+            try:
+                alt = "N" * int(alt[4:-1])
+            except ValueError:
+                pass
+        w[i] = max(len(ref), len(alt), 1)
+    return w
 
 
 def split_window_matrix(wm: WindowMatrix, windows) -> List[WindowMatrix]:

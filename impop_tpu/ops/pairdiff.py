@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pairwise_identity_pallas", "pairwise_identity_xla"]
 
 
-def _kernel(xi_ref, xj_ref, mi_ref, mj_ref, len_ref,
+def _kernel(xi_ref, xj_ref, w_ref, mi_ref, mj_ref, len_ref,
             sim_ref, pres_ref, acc_diff, acc_cmp):
     """One (Ti, Tj) output tile, accumulating over the S grid axis."""
     s_idx = pl.program_id(2)
@@ -44,6 +44,7 @@ def _kernel(xi_ref, xj_ref, mi_ref, mj_ref, len_ref,
     # int8 compares are unsupported on the VPU — widen to f32 first
     xi = xi_ref[:].astype(jnp.float32)  # [Ti, Ts]
     xj = xj_ref[:].astype(jnp.float32)  # [Tj, Ts]
+    w = w_ref[:]                        # [1, Ts] per-site diff weights
     vi = (xi >= 0).astype(jnp.float32)
     vj = (xj >= 0).astype(jnp.float32)
     ai = xi * vi  # alleles, zeroed at invalid sites (codes are 0/1/-1)
@@ -51,11 +52,11 @@ def _kernel(xi_ref, xj_ref, mi_ref, mj_ref, len_ref,
     ci = vi - ai  # complement within valid sites
     cj = vj - aj
 
-    # diff += ai·cjᵀ + ci·ajᵀ ; compared += vi·vjᵀ   (all MXU)
+    # diff += (ai·w)·cjᵀ + (ci·w)·ajᵀ ; compared += vi·vjᵀ   (all MXU)
     acc_diff[:] += (
-        jax.lax.dot_general(ai, cj, (((1,), (1,)), ((), ())),
+        jax.lax.dot_general(ai * w, cj, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(ci, aj, (((1,), (1,)), ((), ())),
+        + jax.lax.dot_general(ci * w, aj, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     )
     acc_cmp[:] += jax.lax.dot_general(vi, vj, (((1,), (1,)), ((), ())),
@@ -89,6 +90,7 @@ def pairwise_identity_pallas(
     length: jnp.ndarray,
     tile_n: int = 256,
     tile_s: int = 512,
+    site_weights: jnp.ndarray | None = None,
 ):
     """Fused identity matrix for one window.
 
@@ -98,6 +100,8 @@ def pairwise_identity_pallas(
       member:    [N] bool
       site_mask: [S] bool
       length:    scalar f32 window length in bp
+      site_weights: optional [S] f32 per-site diff weights (column-mode
+                 identity, doc/how_stats.md); None = unit weights
     Returns:
       (sim [N, N] f32, present [N, N] bool)
     """
@@ -110,6 +114,8 @@ def pairwise_identity_pallas(
     geno = jnp.where(site_mask[None, :], geno, jnp.int8(-1))
     member_f = member.astype(jnp.float32)[None, :]  # [1, N] for SMEM-friendly 2D
     length_v = jnp.asarray(length, jnp.float32).reshape(1, 1)
+    w = (jnp.ones((1, s), jnp.float32) if site_weights is None
+         else site_weights.astype(jnp.float32).reshape(1, s))
 
     grid = (n // tile_n, n // tile_n, s // tile_s)
     sim, pres = pl.pallas_call(
@@ -119,6 +125,8 @@ def pairwise_identity_pallas(
             pl.BlockSpec((tile_n, tile_s), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, tile_s), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_s), lambda i, j, k: (0, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda i, j, k: (0, i),
                          memory_space=pltpu.VMEM),
@@ -146,7 +154,7 @@ def pairwise_identity_pallas(
             bytes_accessed=2 * n * s + 5 * n * n,
             transcendentals=0,
         ),
-    )(geno, geno, member_f, member_f, length_v)
+    )(geno, geno, w, member_f, member_f, length_v)
     return sim, pres.astype(bool)
 
 

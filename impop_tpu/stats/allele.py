@@ -34,6 +34,7 @@ __all__ = [
     "identity_from_alleles",
     "segregating_sites",
     "allele_frequency_spectrum",
+    "panel_afs",
     "AlleleWindowStats",
     "allele_window_stats",
 ]
@@ -46,7 +47,10 @@ def _site_valid(geno: jnp.ndarray, member: jnp.ndarray, site_mask: jnp.ndarray):
 
 
 def pairwise_diff_biallelic(
-    geno: jnp.ndarray, member: jnp.ndarray, site_mask: jnp.ndarray
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    site_weights: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pairwise difference counts for 0/1 allele codes.
 
@@ -57,14 +61,26 @@ def pairwise_diff_biallelic(
     d = (X·VᵀX?)  computed as  XVᵀ·(V - X) + (V - X)·(XV)ᵀ with
     X = geno·valid (zeros at invalid), V = valid:
     diff = X(V-X)ᵀ + (V-X)Xᵀ  — two f32 matmuls on the MXU.
+
+    ``site_weights`` ([S] f32, optional) scales each site's contribution to
+    ``diff`` — the column-mode identity contract (doc/how_stats.md): an
+    indel of k bases carries weight k so differences count alignment
+    COLUMNS rather than variant EVENTS.  ``compared`` stays unweighted (it
+    is only a has-data mask denominator).  Counts stay exact in f32 as long
+    as Σ weights < 2²⁴ per pair.
     """
     valid = _site_valid(geno, member, site_mask)
     v = valid.astype(jnp.float32)
     x = jnp.where(valid, geno, 0).astype(jnp.float32)
     xc = v - x  # complement within valid sites
+    xw, xcw = x, xc
+    if site_weights is not None:
+        w = site_weights.astype(jnp.float32)[None, :]
+        xw = x * w
+        xcw = xc * w
     diff = (
-        jnp.dot(x, xc.T, preferred_element_type=jnp.float32)
-        + jnp.dot(xc, x.T, preferred_element_type=jnp.float32)
+        jnp.dot(xw, xc.T, preferred_element_type=jnp.float32)
+        + jnp.dot(xcw, x.T, preferred_element_type=jnp.float32)
     )
     compared = jnp.dot(v, v.T, preferred_element_type=jnp.float32)
     return diff, compared
@@ -75,22 +91,31 @@ def pairwise_diff(
     member: jnp.ndarray,
     site_mask: jnp.ndarray,
     num_alleles: int = 2,
+    site_weights: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pairwise difference counts for general allele codes 0..num_alleles-1.
 
     match_ij = Σ_a (X==a)(X==a)ᵀ over valid sites; diff = compared - match.
-    num_alleles is static (one matmul per allele value).
+    num_alleles is static (one matmul per allele value).  ``site_weights``
+    as in :func:`pairwise_diff_biallelic`.
     """
     if num_alleles == 2:
-        return pairwise_diff_biallelic(geno, member, site_mask)
+        return pairwise_diff_biallelic(geno, member, site_mask, site_weights)
     valid = _site_valid(geno, member, site_mask)
     v = valid.astype(jnp.float32)
     compared = jnp.dot(v, v.T, preferred_element_type=jnp.float32)
+    w = (site_weights.astype(jnp.float32)[None, :]
+         if site_weights is not None else None)
+    vw = v if w is None else v * w
+    compared_w = (compared if w is None
+                  else jnp.dot(vw, v.T, preferred_element_type=jnp.float32))
     match = jnp.zeros_like(compared)
     for a in range(num_alleles):
         xa = (jnp.where(valid, geno, -1) == a).astype(jnp.float32)
-        match = match + jnp.dot(xa, xa.T, preferred_element_type=jnp.float32)
-    return compared - match, compared
+        xaw = xa if w is None else xa * w
+        match = match + jnp.dot(xaw, xa.T,
+                                preferred_element_type=jnp.float32)
+    return compared_w - match, compared
 
 
 def identity_from_alleles(
@@ -99,6 +124,7 @@ def identity_from_alleles(
     site_mask: jnp.ndarray,
     length: jnp.ndarray,
     num_alleles: int = 2,
+    site_weights: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Estimated identity matrix 1 - diff/length + presence mask.
 
@@ -106,6 +132,8 @@ def identity_from_alleles(
     difference, so dividing the variant-site difference count by the full
     window length reproduces the identity scale of ``impg similarity``).
     Pairs with zero mutually-valid sites are marked absent.
+    ``site_weights`` selects column-mode identity (doc/how_stats.md:
+    "Identity definition and impg parity").
     """
     n_cap, s_cap = geno.shape
     # Long biallelic windows use the fused Pallas kernel: the XLA path
@@ -125,9 +153,11 @@ def identity_from_alleles(
         tile_s = next(t for t in (512, 256, 128) if s_cap % t == 0)
         tile_n = next(t for t in (256, 128) if n_cap % t == 0)
         return pairwise_identity_pallas(
-            geno, member, site_mask, length, tile_n=tile_n, tile_s=tile_s
+            geno, member, site_mask, length, tile_n=tile_n, tile_s=tile_s,
+            site_weights=site_weights,
         )
-    diff, compared = pairwise_diff(geno, member, site_mask, num_alleles)
+    diff, compared = pairwise_diff(geno, member, site_mask, num_alleles,
+                                   site_weights)
     present = (compared > 0) & member[:, None] & member[None, :]
     sim = jnp.where(present, 1.0 - diff / jnp.maximum(length, 1.0), 0.0)
     n_cap = member.shape[0]
@@ -182,6 +212,28 @@ def allele_frequency_spectrum(
         .add(poly.astype(jnp.int32))
     )
     return hist
+
+
+def panel_afs(
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    panels: jnp.ndarray,
+    max_n: int,
+    folded: bool = True,
+) -> jnp.ndarray:
+    """Per-panel SFS for one window: [P, max_n + 1] histograms.
+
+    The tile-native genome-wide spectrum the reference cannot produce
+    (wip/op-afs.py:26-45 reads text tables per window); panel masks are
+    ANDed with ``member``.  Merge across windows/shards with a plain sum
+    (counts are additive) or ``psum`` over a mesh axis.
+    """
+    return jax.vmap(
+        lambda p: allele_frequency_spectrum(
+            geno, member & p, site_mask, max_n, folded
+        )
+    )(panels)
 
 
 class AlleleWindowStats(NamedTuple):

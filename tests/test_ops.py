@@ -30,6 +30,41 @@ def test_pairwise_identity_pallas_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(pres_p), np.asarray(pres_x))
 
 
+def test_pairwise_identity_weighted_pallas_matches_xla(rng):
+    """Column-mode (weighted) identity: Pallas kernel == weighted XLA path,
+    and unit weights == the unweighted path."""
+    from impop_tpu.stats.allele import identity_from_alleles
+
+    n, s = 128, 256
+    geno = rng.integers(0, 2, size=(n, s)).astype(np.int8)
+    geno[rng.random((n, s)) < 0.05] = -1
+    member = np.ones(n, bool)
+    site_mask = np.ones(s, bool)
+    length = jnp.float32(4000.0)
+    weights = rng.integers(1, 6, size=s).astype(np.float32)
+
+    sim_w, pres_w = jax.jit(
+        lambda g, m, sm, L, w: identity_from_alleles(g, m, sm, L,
+                                                     site_weights=w)
+    )(geno, member, site_mask, length, weights)
+    with pltpu.force_tpu_interpret_mode():
+        sim_p, pres_p = pairwise_identity_pallas(
+            geno, member, site_mask, length, tile_n=128, tile_s=128,
+            site_weights=jnp.asarray(weights),
+        )
+    np.testing.assert_allclose(np.asarray(sim_p), np.asarray(sim_w),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pres_p), np.asarray(pres_w))
+
+    # unit weights reproduce the unweighted path exactly
+    sim_1, _ = jax.jit(
+        lambda g, m, sm, L, w: identity_from_alleles(g, m, sm, L,
+                                                     site_weights=w)
+    )(geno, member, site_mask, length, np.ones(s, np.float32))
+    sim_0, _ = jax.jit(identity_from_alleles)(geno, member, site_mask, length)
+    np.testing.assert_array_equal(np.asarray(sim_1), np.asarray(sim_0))
+
+
 def test_seed_peel_pallas_matches_greedy_group(rng):
     from impop_tpu.ops.seedpeel import seed_peel_pallas
     from impop_tpu.stats.grouping import greedy_group
