@@ -1165,14 +1165,19 @@ def cmd_ehh(args) -> int:
     allele at the focal position prints
     ``window colstart colend allele REF|ALT area``.
 
+    All (window, allele) tasks run in ONE batched device program
+    (stats/ehh.ehh_area_batch): windows pad to a fixed width and carriers
+    are boolean masks, so a whole scan costs a single compile — a naive
+    port recompiles per (carrier count, suffix length) pair, which is
+    unusable through a remote-compile TPU path.
+
     Note: the reference script uses the right half for BOTH decay directions
     (ehhgfa.py:58-62 assigns ``a`` but never uses it); ``--compat-ehhgfa``
     reproduces that behaviour, the default uses the left prefix as intended.
     """
-    import jax
     import jax.numpy as jnp
 
-    from impop_tpu.stats.ehh import ehh_forward
+    from impop_tpu.stats.ehh import ehh_area_batch
 
     whole = np.loadtxt(args.input)
     if whole.ndim == 1:
@@ -1182,41 +1187,38 @@ def cmd_ehh(args) -> int:
     test_snp = args.position - 1
     wsize = args.window
 
+    # stack the sliding windows, padding the ragged tail with masked sites
+    starts = list(range(0, total_sites, wsize))
+    keep = [(wi, cs) for wi, cs in enumerate(starts)
+            if min(cs + wsize, total_sites) - cs > test_snp]
     out = _out_stream(args.output)
-    ehh_jit = jax.jit(ehh_forward)
-
-    def ehh_np(mat):
-        if mat.shape[1] == 0 or mat.shape[0] < 2:
-            return np.zeros(mat.shape[1])
-        member = np.ones(mat.shape[0], bool)
-        smask = np.ones(mat.shape[1], bool)
-        return np.asarray(ehh_jit(jnp.asarray(mat), jnp.asarray(member),
-                                  jnp.asarray(smask)))
-
     try:
-        window_name = 1
-        colstart = 0
-        while colstart < total_sites:
-            colend = min(colstart + wsize, total_sites)
-            window = whole[:, colstart:colend]
-            if window.shape[1] == 0 or test_snp >= window.shape[1]:
-                colstart = colend
-                window_name += 1
-                continue
-            ref_allele = window[args.refpos - 1, test_snp]
-            for al in np.unique(window[:, test_snp]):
-                sub = window[window[:, test_snp] == al]
-                right = sub[:, test_snp + 1:]
-                left = right if args.compat_ehhgfa else sub[:, :test_snp]
-                left_ehh = ehh_np(left[:, ::-1])
-                right_ehh = ehh_np(right)
-                curve = np.concatenate([left_ehh[::-1], right_ehh])
-                area = float(np.cumsum(curve)[-1]) if curve.size else 0.0
-                typeal = "REF" if al == ref_allele else "ALT"
-                print(window_name, colstart, colend, al, typeal, area,
-                      file=out, flush=True)
-            colstart = colend
-            window_name += 1
+        if keep:
+            w = len(keep)
+            geno = np.zeros((w, n, wsize), np.int8)
+            smask = np.zeros((w, wsize), bool)
+            member = np.ones((w, n), bool)
+            for row, (_, cs) in enumerate(keep):
+                ce = min(cs + wsize, total_sites)
+                geno[row, :, :ce - cs] = whole[:, cs:ce]
+                smask[row, :ce - cs] = True
+            alleles = jnp.asarray([0, 1], jnp.int32)
+            area, carriers = ehh_area_batch(
+                jnp.asarray(geno), jnp.asarray(member), jnp.asarray(smask),
+                test_snp, alleles,
+                compat_right_for_left=bool(args.compat_ehhgfa),
+            )
+            area = np.asarray(area)
+            carriers = np.asarray(carriers)
+            for row, (wi, cs) in enumerate(keep):
+                ce = min(cs + wsize, total_sites)
+                ref_allele = int(whole[args.refpos - 1, cs + test_snp])
+                for ai, al in enumerate((0, 1)):
+                    if carriers[row, ai] == 0:
+                        continue  # allele absent at the focal site
+                    typeal = "REF" if al == ref_allele else "ALT"
+                    print(wi + 1, cs, ce, al, typeal,
+                          float(area[row, ai]), file=out, flush=True)
     finally:
         if out is not sys.stdout:
             out.close()

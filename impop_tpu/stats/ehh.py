@@ -17,7 +17,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ehh_forward", "ehh_bidirectional", "ehh_decay_from_focal", "EhhResult"]
+__all__ = [
+    "ehh_forward",
+    "ehh_bidirectional",
+    "ehh_decay_from_focal",
+    "ehh_area_batch",
+    "EhhResult",
+]
 
 
 def _pair_mask(member: jnp.ndarray) -> jnp.ndarray:
@@ -103,3 +109,59 @@ def ehh_decay_from_focal(
     curve = jnp.concatenate([left_ehh[::-1], right_ehh])
     area = jnp.sum(curve)
     return EhhResult(curve, area, jnp.sum(carriers.astype(jnp.int32)))
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("focal", "compat_right_for_left"))
+def ehh_area_batch(
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    focal: int,
+    alleles: jnp.ndarray,
+    compat_right_for_left: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """EHH decay areas for every (window, focal allele) in ONE program.
+
+    The windowed-scan driver of wip/ehhgfa.py:47-69, batched: carriers are
+    selected with a boolean MASK (never a row slice), so every window and
+    allele shares a single compiled shape — the per-(carriers, suffix)
+    recompilation of a naive port is structurally impossible here.
+
+    Args:
+      geno:      [W, N, S] int8 binarised haplotype windows (pad cols with
+                 anything and mask them off)
+      member:    [W, N] bool (pad rows False)
+      site_mask: [W, S] bool
+      focal:     static focal site index within each window
+      alleles:   [A] allele codes to evaluate at the focal site
+      compat_right_for_left: reproduce the reference's use of the right
+                 suffix for BOTH decay directions (ehhgfa.py:58-62)
+    Returns:
+      (area [W, A] f32, carriers [W, A] int32)
+    """
+
+    def one_window(g, m, sm):
+        def per_allele(al):
+            carriers = m & (g[:, focal] == al)
+            right_ehh = ehh_forward(g[:, focal + 1:], carriers,
+                                    sm[focal + 1:])
+            if compat_right_for_left:
+                # the reference feeds the REVERSED right suffix to the left
+                # branch (ehhgfa.py:58-62: `left = right` before the flip)
+                left_ehh = ehh_forward(g[:, focal + 1:][:, ::-1], carriers,
+                                       sm[focal + 1:][::-1])
+            elif focal > 0:
+                left_ehh = ehh_forward(g[:, :focal][:, ::-1], carriers,
+                                       sm[:focal][::-1])
+            else:
+                left_ehh = jnp.zeros((0,), jnp.float32)
+            # area = cumsum(curve)[-1] = Σ left + Σ right (ehhgfa.py:64-65)
+            area = jnp.sum(left_ehh) + jnp.sum(right_ehh)
+            return area, jnp.sum(carriers.astype(jnp.int32))
+
+        return jax.vmap(per_allele)(alleles)
+
+    return jax.vmap(one_window)(geno, member, site_mask)

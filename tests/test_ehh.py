@@ -56,6 +56,74 @@ def test_ehh_bidirectional_shape(rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def _reference_ehh_cli_oracle(whole, test_snp, wsize, refpos, compat):
+    """Straight numpy port of wip/ehhgfa.py's window/allele loop (the
+    pre-batching cmd_ehh semantics) — the ground truth for the batched CLI."""
+    whole = (whole != 0).astype(np.int8)
+    n, total = whole.shape
+    rows = []
+    window_name = 1
+    colstart = 0
+    while colstart < total:
+        colend = min(colstart + wsize, total)
+        window = whole[:, colstart:colend]
+        if window.shape[1] == 0 or test_snp >= window.shape[1]:
+            colstart = colend
+            window_name += 1
+            continue
+        ref_allele = window[refpos - 1, test_snp]
+        for al in np.unique(window[:, test_snp]):
+            sub = window[window[:, test_snp] == al]
+            right = sub[:, test_snp + 1:]
+            left = right if compat else sub[:, :test_snp]
+
+            def e(mat):
+                if mat.shape[1] == 0 or mat.shape[0] < 2:
+                    return np.zeros(mat.shape[1])
+                return oracle_ehh(mat)
+
+            curve = np.concatenate([e(left[:, ::-1])[::-1], e(right)])
+            area = float(np.cumsum(curve)[-1]) if curve.size else 0.0
+            typeal = "REF" if al == ref_allele else "ALT"
+            rows.append((window_name, colstart, colend, int(al), typeal,
+                         area))
+        colstart = colend
+        window_name += 1
+    return rows
+
+
+def test_ehh_cli_batched_matches_oracle_one_compile(tmp_path, rng):
+    """100-window scan: one jit compile, outputs equal the reference-loop
+    oracle in both default and --compat-ehhgfa modes."""
+    from impop_tpu.cli import main
+    from impop_tpu.stats import ehh as ehh_mod
+
+    whole = rng.integers(0, 2, size=(12, 1000)).astype(np.int8)
+    mat = tmp_path / "m.txt"
+    np.savetxt(mat, whole, fmt="%d")
+
+    for compat in (False, True):
+        before = ehh_mod.ehh_area_batch._cache_size()
+        out = tmp_path / f"ehh_{compat}.txt"
+        argv = ["ehh", "-i", str(mat), "-p", "4", "-w", "10",
+                "-o", str(out)]
+        if compat:
+            argv.append("--compat-ehhgfa")
+        main(argv)
+        after = ehh_mod.ehh_area_batch._cache_size()
+        assert after - before <= 1, "scan must cost at most one compile"
+
+        want = _reference_ehh_cli_oracle(whole, 3, 10, 1, compat)
+        got = []
+        for line in out.read_text().splitlines():
+            w, cs, ce, al, t, area = line.split()
+            got.append((int(w), int(cs), int(ce), int(al), t, float(area)))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:5] == w[:5]
+            np.testing.assert_allclose(g[5], w[5], atol=1e-4)
+
+
 def test_ehh_decay_from_focal(rng):
     """Carrier subsetting + split/concat/area semantics of wip/ehhgfa.py."""
     hap = rng.integers(0, 2, size=(8, 11)).astype(np.int8)
