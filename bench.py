@@ -1,27 +1,39 @@
 """Benchmark: 200kb-windows/sec/chip for the full π + Fst + Tajima's D panel
-workload (BASELINE.json north-star metric).
+workload (BASELINE.json north-star metric), in three regimes:
 
-Workload (mirrors the reference's panel batches on one synthetic HPRC-shaped
-dataset): per 5 kb window with 466 haplotypes,
-  - pica2-grouped π for the 5 continental panels (run_tajd_panels.sh:60-66)
-  - Hudson Fst (direct) for all 10 panel pairs (run_h_fst_panels.sh:60-71)
-  - 3-π Fst for all 10 pairs (run_fst_impg.sh)
-  - segregating sites S + Tajima's D for the 5 panels (run_tajd.sh)
-computed from allele tiles via the identity-matrix path.  One "200kb unit" =
-40 such windows (doc/how_h-fst.md:5: a 200 kb locus = 40 x 5 kb windows).
+1. **device** (headline `value`): the fused per-window-batch device program
+   on device-resident synthetic HPRC-shaped tiles — per 5 kb window with 466
+   haplotypes: pica2-grouped π for the 5 continental panels
+   (run_tajd_panels.sh:60-66), Hudson Fst direct AND grouped for all 10
+   panel pairs (run_h_fst_panels.sh:60-71, hud.py -m grouped), 3-π Fst for
+   all 10 pairs (run_fst_impg.sh), S + Tajima's D (run_tajd.sh).  One
+   "200kb unit" = 40 such windows (doc/how_h-fst.md:5).
+2. **e2e** (`e2e_units_per_sec`): the real `scan` CLI on a simulated
+   PAF+FASTA pangenome — native C++ extraction + H2D + device + table emit,
+   steady-state (the first device call's jit compile is excluded via the
+   per-call timing samples; everything else, including the threaded
+   extraction pipeline, is included).
+3. **long-window** (`long_window`): the site-streaming regime the reference
+   cannot reach (its impg caps windows at 10 kb, doc/how_pi.md:40) — the
+   fused Pallas pairwise-identity kernel + S on [512, 8192] tiles
+   (~500 kb of variation at HPRC density), reported as windows/sec and
+   Gcells/sec (N·N·S cells per window).
 
 ``vs_baseline``: the same statistics semantics timed through the pure-Python
 reference path (tests/oracle.py — the dict-based algorithms of
-pica2.py/h-fst.py/tj_d.py) on one window, extrapolated.  The reference's impg
-extraction cost is excluded from both sides (it is replaced, not ported).
+pica2.py/h-fst.py/tj_d.py) on one window of regime 1, extrapolated.  The
+reference's impg extraction cost is excluded from both sides (it is
+replaced, not ported).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line; `value` is the regime-1 headline.
 """
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -34,8 +46,10 @@ N_HAP = 466          # HPRC r2 assemblies + CHM13 (doc/where_hprc_data.md)
 CAP_N = 512
 CAP_S = 128          # segregating-site capacity per 5 kb window
 WIN_BP = 5000.0
-W_BATCH = 320        # eight 200kb units per device step (throughput saturates
+W_BATCH = int(os.environ.get("IMPOP_BENCH_BATCH", 320))
+                     # eight 200kb units per device step (throughput saturates
                      # at ~320 windows/step on v5e: 113 -> 196 units/sec)
+ITERS = int(os.environ.get("IMPOP_BENCH_ITERS", 32))
 UNIT_WINDOWS = 40
 THRESHOLD = 0.999
 
@@ -75,6 +89,7 @@ def device_pipeline():
     import jax.numpy as jnp
 
     from impop_tpu.stats.allele import identity_from_alleles, segregating_sites
+    from impop_tpu.stats.fst import hudson_fst_grouped_pairs
     from impop_tpu.stats.panelstats import fused_panel_stats
     from impop_tpu.stats.tajima import tajimas_d
 
@@ -101,22 +116,30 @@ def device_pipeline():
             res.n[:p_count], s_count.astype(jnp.float32), pi_panel / length
         )
         hud = res.hudson.fst
+        # grouped-method Hudson (hud.py -m grouped) for the same 10 pairs,
+        # one shared grouping pass across pairs
+        mask_a = panels1[pair_a] & m[None, :]
+        mask_b = panels1[pair_b] & m[None, :]
+        ov = mask_a & mask_b
+        hudg = hudson_fst_grouped_pairs(
+            sim, present, mask_a & ~ov, mask_b & ~ov, t
+        ).fst
         pi_ab = 0.5 * (pi_panel[pair_a] + pi_panel[pair_b])
         f3 = jnp.where(
             pi_c != 0, (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0), jnp.nan
         )
-        return pi_panel / length, d, hud, f3, s_count
+        return pi_panel / length, d, hud, hudg, f3, s_count
 
     step = jax.jit(jax.vmap(one_window, in_axes=(0, 0, 0, 0, 0)))
     return step
 
 
-def bench_device(step, batch, iters=32):
+def bench_device(step, batch, iters=ITERS):
     import jax
 
     # device-resident inputs: window tiles are prefetched/pipelined by the
     # scan runtime in production; timing host->device transfer per step
-    # would measure the tunnel, not the engine
+    # would measure the tunnel, not the engine (the e2e regime includes it)
     batch = tuple(jax.device_put(a) for a in batch)
     out = step(*batch)
     _ = np.asarray(out[0])  # compile + warm
@@ -129,6 +152,103 @@ def bench_device(step, batch, iters=32):
     dt = time.perf_counter() - t0
     windows_per_sec = W_BATCH * iters / dt
     return windows_per_sec, out
+
+
+def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192):
+    """Long-window regime: fused Pallas identity + S on [n, s] tiles.
+
+    s=8192 variant sites ≈ 500 kb of HPRC-density variation — 50-100x the
+    reference's 10 kb window cap, in one device pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.allele import identity_from_alleles, segregating_sites
+
+    rng = np.random.default_rng(7)
+    classes = rng.integers(0, 2, size=(16, s)).astype(np.int8)
+    g = classes[rng.integers(0, 16, size=n)]
+    g = np.where(rng.random((n, s)) < 0.001, 1 - g, g).astype(np.int8)
+    g[N_HAP:] = -1
+    member = np.zeros(n, bool); member[:N_HAP] = True
+    smask = np.ones(s, bool)
+    length = jnp.float32(500000.0)
+
+    @jax.jit
+    def step(g, m, sm):
+        sim, present = identity_from_alleles(g, m, sm, length)
+        return jnp.sum(sim), segregating_sites(g, m, sm)
+
+    g_d = jax.device_put(jnp.asarray(g))
+    m_d = jax.device_put(jnp.asarray(member))
+    sm_d = jax.device_put(jnp.asarray(smask))
+    out = step(g_d, m_d, sm_d)
+    _ = np.asarray(out[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(g_d, m_d, sm_d)
+    _ = np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    per_win = dt / iters
+    gcells = n * n * s / 1e9
+    return {
+        "n": n, "s": s,
+        "windows_per_sec": round(iters / dt, 3),
+        "gcells_per_sec": round(gcells / per_win, 2),
+    }
+
+
+def bench_e2e_scan():
+    """Honest end-to-end: the scan CLI on simulated PAF+FASTA — native
+    extraction + H2D + device + emit.  Steady-state rate excludes only the
+    first device call (jit compile); per-call stage samples come from
+    scan --timing-json."""
+    from impop_tpu.cli import main
+    from impop_tpu.extract.simulate import simulate
+
+    tmp = tempfile.mkdtemp(prefix="impop_bench_")
+    try:
+        ref_len = 400_000  # two 200kb units
+        sim = simulate(tmp, ref_len=ref_len, n_haps=N_HAP - 1,
+                       site_pool=ref_len // 60, seed=11,
+                       span=(0, ref_len))
+        bed = os.path.join(tmp, "w.bed")
+        with open(bed, "w") as fh:
+            for lo in range(0, ref_len, int(WIN_BP)):
+                fh.write(f"chr1\t{lo}\t{lo + int(WIN_BP)}\n")
+        # 5 panels over the haplotype names
+        names = [h.name for h in sim.haplotypes]
+        panel_args = []
+        start = 0
+        for pname, size in PANEL_SIZES.items():
+            take = names[start:start + size]
+            start += size
+            pfile = os.path.join(tmp, f"agc.{pname}")
+            with open(pfile, "w") as fh:
+                fh.write("\n".join(take) + "\n")
+            panel_args += ["--panel", pfile]
+        timing = os.path.join(tmp, "timing.json")
+        argv = ["scan", "-b", bed, "--paf", sim.paf_path,
+                "--fasta", sim.fasta_path, "-P", "CHM13#0#",
+                "-o", os.path.join(tmp, "out.tsv"),
+                "--batch", "40", "--timing-json", timing] + panel_args
+        main(argv)
+        with open(timing) as fh:
+            t = json.load(fh)
+        windows = t["windows"]
+        elapsed = t["elapsed_sec"]
+        dev = t["stages"].get("device", {}).get("samples_sec", [])
+        # exclude the one-time jit compile from the steady-state rate
+        compile_excess = (dev[0] - float(np.median(dev[1:]))
+                          if len(dev) > 1 else 0.0)
+        steady = max(elapsed - max(compile_excess, 0.0), 1e-9)
+        return {
+            "windows": windows,
+            "units_per_sec": round(windows / UNIT_WINDOWS / steady, 3),
+            "stages_sec": {k: round(v["total_sec"], 3)
+                           for k, v in t["stages"].items()},
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_python_reference(batch, n_windows=1):
@@ -169,6 +289,7 @@ def bench_python_reference(batch, n_windows=1):
             pa = [names[i] for i in range(n) if mask_a[i]]
             pb = [names[i] for i in range(n) if mask_b[i]]
             oracle.hudson_fst_direct(sim_dict, pa, pb)
+            oracle.hudson_fst_grouped(sim_dict, pa, pb, THRESHOLD)
             un = sorted(set(pa) | set(pb))
             und = {k: v for k, v in sim_dict.items()
                    if k[0] in set(un) and k[1] in set(un)}
@@ -190,11 +311,23 @@ def main():
     except Exception:
         vs_baseline = float("nan")
 
+    try:
+        long_window = bench_long_window()
+    except Exception as e:
+        long_window = {"error": str(e)[:200]}
+
+    try:
+        e2e = bench_e2e_scan()
+    except Exception as e:
+        e2e = {"error": str(e)[:200]}
+
     print(json.dumps({
-        "metric": "200kb-windows/sec/chip for pi+Fst+TajD",
+        "metric": "200kb-windows/sec/chip for pi+Fst(direct+grouped)+TajD",
         "value": round(units_per_sec, 4),
         "unit": "200kb-units/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
+        "e2e": e2e,
+        "long_window": long_window,
     }))
 
 

@@ -358,16 +358,26 @@ def _load_windows(
     kept: List[Region] = []
     mats: List[SimilarityMatrix] = []
     region_strings: List[str] = []
+    errors = 0
     for reg in regions:
         rs = reg.region_string(prefix)
         try:
             mats.append(src.load(rs))
         except WindowError as e:
             _warn(f"Warning: {e}; skipping window")
+            errors += 1
             continue
         kept.append(reg)
         region_strings.append(rs)
+    _print_counters(len(kept), errors)
     return kept, mats, region_strings
+
+
+def _print_counters(ok: int, errors: int) -> None:
+    """End-of-run success/error counters — the reference drivers keep and
+    print these (run_h-fst.sh:151-203, run_pica2_impg.sh:168-180)."""
+    _warn(f"Processed: {ok + errors} windows "
+          f"(success: {ok}, errors: {errors})")
 
 
 # --------------------------------------------------------------- pi
@@ -540,6 +550,22 @@ def cmd_fst3pi(args) -> int:
                 float(res.pi_b[wi, 0]) / length,
                 float(res.pi_c[wi, 0]) / length,
             ), file=out)
+            if args.log_dir:
+                pi_a = float(res.pi_a[wi, 0]) / length
+                pi_b = float(res.pi_b[wi, 0]) / length
+                pi_c = float(res.pi_c[wi, 0]) / length
+                pi_ab = 0.5 * (pi_a + pi_b)
+                _write_window_log(
+                    args.log_dir, region_strings[wi], "3-pi FST Calculation",
+                    {
+                        "region": region_strings[wi],
+                        "length": length,
+                        "threshold": args.threshold,
+                        "pi_a": pi_a, "pi_b": pi_b, "pi_c": pi_c,
+                        "pi_ab": pi_ab,
+                        "fst": ((pi_c - pi_ab) / pi_c if pi_c else "NA"),
+                    },
+                )
     finally:
         if out is not sys.stdout:
             out.close()
@@ -564,15 +590,18 @@ def cmd_tajd(args) -> int:
     kept: List[Region] = []
     tiles: List[Tuple[np.ndarray, List[str], Optional[List[str]]]] = []
     region_strings: List[str] = []
+    n_err = 0
     for reg in regions:
         rs = reg.region_string(args.prefix)
         try:
             tiles.append(geno_src.load(rs))
         except WindowError as e:
             _warn(f"Warning: {e}; skipping window")
+            n_err += 1
             continue
         kept.append(reg)
         region_strings.append(rs)
+    _print_counters(len(kept), n_err)
 
     out = _out_stream(args.output)
     try:
@@ -610,12 +639,29 @@ def cmd_tajd(args) -> int:
             jnp.asarray(panels), lengths, args.threshold,
         )
         for wi, reg in enumerate(kept):
+            n_val = int(np.asarray(res.n)[wi, 0])
+            s_val = int(np.asarray(res.s)[wi])
+            pi_val = float(np.asarray(res.pi)[wi, 0])
+            d_val = float(np.asarray(res.d)[wi, 0])
             print(tables.tajd_row(
-                region_strings[wi], int(lengths[wi]),
-                int(np.asarray(res.n)[wi, 0]), int(np.asarray(res.s)[wi]),
-                float(np.asarray(res.pi)[wi, 0]),
-                float(np.asarray(res.d)[wi, 0]),
+                region_strings[wi], int(lengths[wi]), n_val, s_val,
+                pi_val, d_val,
             ), file=out)
+            if args.log_dir:
+                _write_window_log(
+                    args.log_dir, region_strings[wi],
+                    "Tajima's D Calculation",
+                    {
+                        "region": region_strings[wi],
+                        "length": int(lengths[wi]),
+                        "threshold": args.threshold,
+                        "n": n_val,
+                        "segregating_sites": s_val,
+                        "pi_per_site": pi_val,
+                        "tajimas_d": ("NA" if np.isnan(d_val)
+                                      else d_val),
+                    },
+                )
     finally:
         if out is not sys.stdout:
             out.close()
@@ -758,10 +804,9 @@ def cmd_scan(args) -> int:
     if proc_count > 1:
         lo, hi = host_window_range(len(regions), proc_idx, proc_count)
         regions = regions[lo:hi]
-        if args.output:
-            args.output = f"{args.output}.part{proc_idx}"
-        if args.journal:
-            args.journal = f"{args.journal}.part{proc_idx}"
+        for attr in ("output", "journal", "afs", "timing_json"):
+            if getattr(args, attr, None):
+                setattr(args, attr, f"{getattr(args, attr)}.part{proc_idx}")
     geno_src = (GenoSource(args.geno_dir) if args.geno_dir
                 else GfaDirSource(args.gfa_dir) if getattr(args, "gfa_dir", None)
                 else None)
@@ -801,6 +846,7 @@ def cmd_scan(args) -> int:
             header += [f"PI_{name}", f"TAJD_{name}"]
         for i, j in pair_list:
             header += [f"FST_{panel_names[i]}_{panel_names[j]}",
+                       f"FSTG_{panel_names[i]}_{panel_names[j]}",
                        f"FST3_{panel_names[i]}_{panel_names[j]}"]
     else:
         header += ["PI", "TAJIMAS_D"]
@@ -814,8 +860,11 @@ def cmd_scan(args) -> int:
     afs_bins = getattr(args, "afs_bins", 512)
     afs_folded = not getattr(args, "afs_unfolded", False)
 
+    with_pairs = bool(pair_list)
+
     def one_window(g, m, smask, panels1, length, wts):
         from impop_tpu.stats.allele import panel_afs
+        from impop_tpu.stats.fst import hudson_fst_grouped_pairs
 
         sim, present = identity_from_alleles(
             g, m, smask, length,
@@ -828,6 +877,17 @@ def cmd_scan(args) -> int:
         d = tajimas_d(res.n[:panels1.shape[0]],
                       s_count.astype(jnp.float32), pi_panel / length)
         fst = res.hudson.fst
+        if with_pairs:
+            # grouped-method Hudson (hud.py -m grouped), one shared
+            # grouping across all pairs
+            mask_a = panels1[pair_a] & m[None, :]
+            mask_b = panels1[pair_b] & m[None, :]
+            ov = mask_a & mask_b
+            fstg = hudson_fst_grouped_pairs(
+                sim, present, mask_a & ~ov, mask_b & ~ov, t
+            ).fst
+        else:
+            fstg = jnp.zeros_like(fst)
         pi_ab = 0.5 * (pi_panel[pair_a] + pi_panel[pair_b])
         f3 = jnp.where(pi_c != 0,
                        (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0),
@@ -836,7 +896,7 @@ def cmd_scan(args) -> int:
         afs = (panel_afs(g, m, smask, panels1, afs_bins, afs_folded)
                if want_afs
                else jnp.zeros((panels1.shape[0], 1), jnp.int32))
-        return pi_panel, d, fst, f3, s_count, n_all, afs
+        return pi_panel, d, fst, fstg, f3, s_count, n_all, afs
 
     # shard the window batch over every LOCAL device; a single chip
     # degenerates to plain placement.  Multi-device uses shard_map (not
@@ -936,12 +996,14 @@ def cmd_scan(args) -> int:
                   for lo in range(0, len(pending), batch_size)]
         pool = _fut.ThreadPoolExecutor(max_workers=1)
         futures = iter([pool.submit(load_chunk, c) for c in chunks])
+        n_done = n_failed = 0
         for _chunk_idx in range(len(chunks)):
             with timers.stage("extract"):
                 tiles, kept, failures = next(futures).result()
             for rs, err in failures:
                 _warn(f"Warning: {rs}: {err}; recording NA")
                 journal.record_failure(rs, err)
+                n_failed += 1
             if not tiles:
                 continue
             cap_n = _capacity_for([t0.shape[0] for t0, *_ in tiles])
@@ -977,9 +1039,8 @@ def cmd_scan(args) -> int:
             with timers.stage("device"):
                 out_dev = step(*dev_args)
                 jax.block_until_ready(out_dev)
-            pi_v, d_v, fst_v, f3_v, s_v, n_v, afs_v = jax.tree_util.tree_map(
-                np.asarray, out_dev
-            )
+            (pi_v, d_v, fst_v, fstg_v, f3_v, s_v, n_v,
+             afs_v) = jax.tree_util.tree_map(np.asarray, out_dev)
             timers.add_windows(len(kept))
             for wi, (reg, rs) in enumerate(kept):
                 cells = [rs, str(reg.length), str(int(n_v[wi])),
@@ -992,12 +1053,35 @@ def cmd_scan(args) -> int:
                 if panel_lists:
                     for qi in range(len(pair_list)):
                         f_val = float(fst_v[wi, qi])
+                        fg_val = float(fstg_v[wi, qi])
                         f3_val = float(f3_v[wi, qi])
                         cells += [
                             f"{f_val:.8f}",
+                            f"{fg_val:.8f}",
                             "NA" if np.isnan(f3_val) else f"{f3_val:.8f}",
                         ]
                 row = "\t".join(cells)
+                if args.log_dir:
+                    payload = {
+                        "region": rs, "length": reg.length,
+                        "threshold": args.threshold,
+                        "n": int(n_v[wi]), "segregating_sites": int(s_v[wi]),
+                    }
+                    for pi_idx, pname in enumerate(panel_names or ["ALL"]):
+                        payload[f"pi_{pname}"] = (
+                            float(pi_v[wi, pi_idx]) / reg.length)
+                        dv = float(d_v[wi, pi_idx])
+                        payload[f"tajd_{pname}"] = ("NA" if np.isnan(dv)
+                                                    else dv)
+                    for qi, (i, j) in enumerate(pair_list):
+                        tag = f"{panel_names[i]}_{panel_names[j]}"
+                        payload[f"fst_{tag}"] = float(fst_v[wi, qi])
+                        payload[f"fstg_{tag}"] = float(fstg_v[wi, qi])
+                        f3v = float(f3_v[wi, qi])
+                        payload[f"fst3_{tag}"] = ("NA" if np.isnan(f3v)
+                                                  else f3v)
+                    _write_window_log(args.log_dir, rs,
+                                      "Fused Scan Window", payload)
                 rec = {"row": row}
                 if want_afs:
                     # journal the window's spectrum sparsely so a resumed
@@ -1014,8 +1098,10 @@ def cmd_scan(args) -> int:
                     rec["afs"] = sparse
                 journal.record(rs, rec)
                 print(row, file=out)
+                n_done += 1
         pool.shutdown(wait=False)
         trace_ctx.__exit__(None, None, None)
+        _print_counters(n_done, n_failed)
     finally:
         if out is not sys.stdout:
             out.close()
@@ -1032,6 +1118,11 @@ def cmd_scan(args) -> int:
         _warn(f"wrote genome-wide spectrum -> {args.afs}")
     if args.verbose_timing:
         _warn(timers.report())
+    if getattr(args, "timing_json", None):
+        import json
+
+        with open(args.timing_json, "w") as fh:
+            json.dump(timers.to_json(), fh)
     return 0
 
 
@@ -1488,6 +1579,55 @@ def cmd_import_agc(args) -> int:
     return 0
 
 
+def cmd_merge_parts(args) -> int:
+    """Merge the per-process ``<file>.partK`` outputs of a distributed scan
+    into one file.  Hosts own contiguous window ranges (host_window_range),
+    so concatenating tables in part order reproduces the single-process row
+    order exactly; AFS spectra merge by summing counts per allele-count bin
+    (``--sum``)."""
+    import glob as _glob
+
+    base = args.output
+    parts = sorted(
+        _glob.glob(f"{base}.part*"),
+        key=lambda p: int(p.rsplit("part", 1)[1]),
+    )
+    if not parts:
+        raise SystemExit(f"error: no {base}.part* files found")
+    if args.sum:
+        totals: Dict[int, List[int]] = {}
+        header = None
+        for path in parts:
+            with open(path) as fh:
+                header = fh.readline().rstrip("\n")
+                for line in fh:
+                    cells = line.rstrip("\n").split("\t")
+                    k = int(cells[0])
+                    vals = [int(x) for x in cells[1:]]
+                    if k in totals:
+                        totals[k] = [a + b for a, b in zip(totals[k], vals)]
+                    else:
+                        totals[k] = vals
+        with open(base, "w") as out:
+            out.write((header or "") + "\n")
+            for k in sorted(totals):
+                out.write(f"{k}\t" + "\t".join(map(str, totals[k])) + "\n")
+    else:
+        with open(base, "w") as out:
+            for idx, path in enumerate(parts):
+                with open(path) as fh:
+                    header = fh.readline()
+                    if idx == 0:
+                        out.write(header)
+                    for line in fh:
+                        out.write(line)
+    if args.remove:
+        for path in parts:
+            os.remove(path)
+    _warn(f"merged {len(parts)} parts -> {base}")
+    return 0
+
+
 def cmd_makewindows(args) -> int:
     out = _out_stream(args.output)
     try:
@@ -1680,6 +1820,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--verbose-timing", action="store_true",
                    help="print per-stage wall times to stderr")
+    p.add_argument("--timing-json",
+                   help="write the per-stage timing breakdown (with "
+                        "per-call samples) to this JSON file")
+    p.add_argument("-d", "--log-dir", default=None,
+                   help="directory for per-window debug logs (two-channel "
+                        "contract: TSV to stdout/-o, intermediates here)")
     p.set_defaults(func=cmd_scan)
 
     p = sub.add_parser("ehh", help="EHH decay around a focal SNP (ehhgfa)")
@@ -1734,6 +1880,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", help="output VCF (default: stdout)")
     p.add_argument("--npz", help="also write the allele tile as .npz")
     p.set_defaults(func=cmd_gfa2vcf)
+
+    p = sub.add_parser("merge-parts",
+                       help="merge <file>.partK outputs of a distributed "
+                            "scan into one file")
+    p.add_argument("output", help="base output path (parts are "
+                                  "<output>.part0, .part1, ...)")
+    p.add_argument("--sum", action="store_true",
+                   help="numeric merge for AFS spectra (sum counts per "
+                        "allele-count bin) instead of row concatenation")
+    p.add_argument("--remove", action="store_true",
+                   help="delete the part files after merging")
+    p.set_defaults(func=cmd_merge_parts)
 
     p = sub.add_parser("import-agc",
                        help="AGC archive -> random-access BGZF FASTA store")

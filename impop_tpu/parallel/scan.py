@@ -22,7 +22,7 @@ import numpy as np
 from impop_tpu.parallel.mesh import window_sharding
 from impop_tpu.stats.allele import AlleleWindowStats, allele_window_stats, identity_from_alleles, segregating_sites
 from impop_tpu.stats.diversity import direct_diversity
-from impop_tpu.stats.fst import FstResult, hudson_fst_direct, hudson_fst_direct_pairs, hudson_fst_grouped
+from impop_tpu.stats.fst import FstResult, hudson_fst_direct, hudson_fst_direct_pairs, hudson_fst_grouped_pairs
 from impop_tpu.stats.pi import PiResult, grouped_diversity, pi_grouped, pi_grouped_panels
 from impop_tpu.stats.tajima import tajimas_d
 
@@ -99,7 +99,8 @@ def batch_hudson(
     pair_a/pair_b: [Q] int32 panel indices defining the Q comparisons
     (e.g. the reference's 10 continental pairs, run_h_fst_panels.sh:60-71).
     Overlapping members are stripped from both sides, matching
-    h-fst.py:181-185.
+    h-fst.py:181-185.  The grouped method shares one grouping pass across
+    all Q pairs (hudson_fst_grouped_pairs).
     """
     t = jnp.asarray(threshold, dtype=jnp.float32)
 
@@ -111,9 +112,8 @@ def batch_hudson(
         mask_b = mask_b & ~overlap
         direct = hudson_fst_direct_pairs(sim1, present1, mask_a, mask_b)
         if with_grouped:
-            grouped = jax.vmap(
-                lambda ma, mb: hudson_fst_grouped(sim1, present1, ma, mb, t)
-            )(mask_a, mask_b)
+            grouped = hudson_fst_grouped_pairs(sim1, present1, mask_a,
+                                               mask_b, t)
         else:
             grouped = direct
         return HudsonBatchResult(direct, grouped)

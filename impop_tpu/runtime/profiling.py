@@ -23,6 +23,7 @@ class StageTimers:
     def __init__(self) -> None:
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        self.samples: Dict[str, list] = {}
         self.windows = 0
         self._start = time.perf_counter()
 
@@ -35,9 +36,29 @@ class StageTimers:
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
+            self.samples.setdefault(name, []).append(dt)
 
     def add_windows(self, n: int) -> None:
         self.windows += n
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self._start
+
+    def to_json(self) -> dict:
+        """Machine-readable stage breakdown (per-call samples included so a
+        consumer can exclude the first device call's jit compile)."""
+        return {
+            "windows": self.windows,
+            "elapsed_sec": self.elapsed(),
+            "stages": {
+                name: {
+                    "total_sec": self.totals[name],
+                    "calls": self.counts[name],
+                    "samples_sec": self.samples[name],
+                }
+                for name in self.totals
+            },
+        }
 
     def report(self) -> str:
         elapsed = time.perf_counter() - self._start

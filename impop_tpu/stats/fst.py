@@ -20,10 +20,22 @@ import jax
 import jax.numpy as jnp
 
 from impop_tpu.stats.diversity import DiversityResult, direct_diversity
-from impop_tpu.stats.grouping import first_pair_winner, greedy_group, group_sizes
+from impop_tpu.stats.grouping import (
+    first_pair_winner,
+    greedy_group,
+    greedy_group_panels,
+    group_sizes,
+)
 from impop_tpu.stats.pi import grouped_diversity
 
-__all__ = ["FstResult", "hudson_fst_direct", "hudson_fst_direct_pairs", "hudson_fst_grouped", "fst_3pi"]
+__all__ = [
+    "FstResult",
+    "hudson_fst_direct",
+    "hudson_fst_direct_pairs",
+    "hudson_fst_grouped",
+    "hudson_fst_grouped_pairs",
+    "fst_3pi",
+]
 
 
 class FstResult(NamedTuple):
@@ -127,6 +139,59 @@ def hudson_fst_grouped(sim, present, mask_a, mask_b, threshold) -> FstResult:
     size_of_b = sizes_b[jnp.clip(gid_b, 0, n_cap - 1)].astype(jnp.float32)
     weight = size_of_a[:, None] * size_of_b[None, :] / jnp.maximum(n_a * n_b, 1.0)
     dxy = jnp.sum(jnp.where(winner, weight * (1.0 - sim), 0.0))
+    return _assemble(pi_a, pi_b, dxy)
+
+
+def hudson_fst_grouped_pairs(sim, present, masks_a, masks_b, threshold
+                             ) -> FstResult:
+    """:func:`hudson_fst_grouped` for Q (already overlap-stripped) pair
+    masks of one window at once, with the grouping SHARED across pairs:
+    all 2Q population masks go through one ``greedy_group_panels`` call
+    (one link-structure build + one seed-peel for the whole pair batch,
+    the same sharing ``fused_panel_stats`` uses for π), instead of 2Q
+    independent ``greedy_group`` invocations.  Fields are [Q]-shaped.
+
+    Semantics are identical to vmapping :func:`hudson_fst_grouped` over
+    pairs (asserted by tests/test_fst.py).
+    """
+    q = masks_a.shape[0]
+    n_cap = masks_a.shape[1]
+    all_masks = jnp.concatenate([masks_a, masks_b], axis=0)   # [2Q, N]
+    member = jnp.any(all_masks, axis=0)
+    gid = greedy_group_panels(sim, present, member, all_masks, threshold)
+    sizes = jax.vmap(group_sizes)(gid, all_masks)             # [2Q, N]
+    n = jnp.sum(all_masks.astype(jnp.float32), axis=1)        # [2Q]
+
+    def within(gid1, pm1, sizes1, n1):
+        # hud.py grouped within-set diversity (hud.py:100-128), post-grouping
+        winner = first_pair_winner(present, pm1, gid1, gid1, ordered=False)
+        size_of = sizes1[jnp.clip(gid1, 0, n_cap - 1)].astype(jnp.float32)
+        freq = size_of / jnp.maximum(n1, 1.0)
+        terms = jnp.where(
+            winner, 2.0 * freq[:, None] * freq[None, :] * (1.0 - sim), 0.0
+        )
+        total = jnp.sum(terms)
+        return jnp.where(n1 > 1, total * n1 / jnp.maximum(n1 - 1.0, 1.0),
+                         0.0)
+
+    divs = jax.vmap(within)(gid, all_masks, sizes, n)         # [2Q]
+    pi_a, pi_b = divs[:q], divs[q:]
+
+    def cross(gid_a, gid_b, ma, mb, sa, sb, na, nb):
+        # grouped Dxy (hud.py:235-263): cross-population group weights,
+        # first-found representative pairs, no Bessel factor
+        winner = first_pair_winner(present, ma, gid_a, gid_b,
+                                   member_col=mb, ordered=True)
+        size_of_a = sa[jnp.clip(gid_a, 0, n_cap - 1)].astype(jnp.float32)
+        size_of_b = sb[jnp.clip(gid_b, 0, n_cap - 1)].astype(jnp.float32)
+        weight = (size_of_a[:, None] * size_of_b[None, :]
+                  / jnp.maximum(na * nb, 1.0))
+        return jnp.sum(jnp.where(winner, weight * (1.0 - sim), 0.0))
+
+    dxy = jax.vmap(cross)(
+        gid[:q], gid[q:], masks_a, masks_b, sizes[:q], sizes[q:],
+        n[:q], n[q:],
+    )
     return _assemble(pi_a, pi_b, dxy)
 
 

@@ -198,7 +198,12 @@ def greedy_group_panels(
     # case), and each round costs two tiny [P,K]@[K,K] matmuls — replacing a
     # statically-unrolled K-step scalar micro-loop that was latency-bound
     # (measured 15 ms -> ~2 ms per 40-window batch on v5e).
-    assert n_cap % block == 0
+    if n_cap % block != 0:
+        # small/odd capacities (tests, dryruns) fall back to the largest
+        # common divisor — correctness is block-size independent
+        import math
+
+        block = math.gcd(n_cap, block)
     n_chunks = n_cap // block
 
     def chunk_body(c, seeds):
@@ -375,32 +380,55 @@ def first_pair_winner(
     n_cap = member_row.shape[0]
     order = jnp.arange(n_cap, dtype=jnp.int32)
 
-    def rank_of(gid, member):
-        same = (gid[:, None] == gid[None, :]) & member[None, :]
-        before = order[None, :] < order[:, None]
-        return jnp.sum(same & before, axis=1).astype(jnp.int32)
-
-    rank_r = rank_of(gid_row, member_row)
-    rank_c = rank_of(gid_col, member_col)
-
     valid = present & member_row[:, None] & member_col[None, :]
     if ordered:
         valid = valid & (gid_row[:, None] != gid_col[None, :])
     else:
         valid = valid & (gid_row[:, None] < gid_col[None, :])
 
-    key = rank_r[:, None] * n_cap + rank_c[None, :]
-    big = n_cap * n_cap + 1
-    key = jnp.where(valid, key, big)
-
-    seg = gid_row[:, None].astype(jnp.int32) * (n_cap + 1) + gid_col[None, :]
-    seg_min = (
-        jnp.full((n_cap + 1) * (n_cap + 1), big, dtype=jnp.int32)
-        .at[seg.ravel()]
-        .min(key.ravel())
+    # hud.py scans group members in sorted-name (== row-index) order, so the
+    # winner is: the first row i in its group with ANY valid column in the
+    # target column-group, paired with that row's first valid column j in
+    # the group.  Both "first" predicates are "no earlier same-group element
+    # with the property" counts — three [N, N] matmuls on the MXU (the
+    # previous formulation scatter-minned an (N+1)²-bucket segment table,
+    # 2.6M serialised bucket updates per window at N=512).
+    validf = valid.astype(jnp.float32)
+    # any_valid[i, g]: row i has a valid partner in column-group g
+    oh_col = (
+        (gid_col[:, None] == order[None, :]) & member_col[:, None]
+    ).astype(jnp.float32)                                    # [j, g]
+    any_valid = jax.lax.dot_general(
+        validf, oh_col, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) > 0.5                                                  # [i, g]
+    # blocked_row[i, g]: an earlier same-row-group row also reaches g
+    earlier = order[:, None] < order[None, :]                # [i', i]
+    er_f = (
+        (gid_row[:, None] == gid_row[None, :]) & earlier
+        & member_row[:, None] & member_row[None, :]
+    ).astype(jnp.float32)                                    # [i', i]
+    blocked_row = jax.lax.dot_general(
+        er_f, any_valid.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) > 0.5                                                  # [i, g]
+    row_first = any_valid & ~blocked_row                     # [i, g]
+    # col_first[i, j]: no earlier same-column-group j' valid for row i
+    ec_f = (
+        (gid_col[:, None] == gid_col[None, :]) & earlier
+        & member_col[:, None] & member_col[None, :]
+    ).astype(jnp.float32)                                    # [j', j]
+    col_counts = jax.lax.dot_general(
+        validf, ec_f, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # [i, j]
+    col_first = valid & (col_counts < 0.5)
+    # expand row_first to [i, j] through each column's group id
+    row_first_ij = jnp.take(
+        row_first, jnp.clip(gid_col, 0, n_cap - 1), axis=1
     )
-    winner = valid & (key == seg_min[seg]) & (key < big)
-    return winner
+    return col_first & row_first_ij
 
 
 @partial(jax.jit, static_argnames=("num_iters",))

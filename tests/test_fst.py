@@ -92,6 +92,46 @@ def test_hudson_fst_grouped_matches_oracle(rng, n, missing, t):
         )
 
 
+@pytest.mark.parametrize("n,missing,t", [(24, 0.1, 0.999), (60, 0.25, 0.995)])
+def test_hudson_fst_grouped_pairs_shares_grouping(rng, n, missing, t):
+    """hudson_fst_grouped_pairs (one shared grouping for all Q pairs) ==
+    per-pair hudson_fst_grouped == the reference-semantics oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.fst import hudson_fst_grouped_pairs
+
+    sim_dict, sm = random_sim_case(rng, n, missing_frac=missing,
+                                   round_digits=5)
+    tile = tile_of(sm, capacity=CAP)
+    # three overlapping splits -> 3 pairs with distinct stripped masks
+    pops = []
+    for seed in (1, 2, 3):
+        r2 = np.random.default_rng(seed)
+        pa, pb = _split(sm.names, r2)
+        pops.append((pa, pb))
+    masks_a = np.stack([np.asarray(mask_of(sm, pa, capacity=CAP))
+                        for pa, _ in pops])
+    masks_b = np.stack([np.asarray(mask_of(sm, pb, capacity=CAP))
+                        for _, pb in pops])
+    got = jax.jit(hudson_fst_grouped_pairs)(
+        tile.sim, tile.present, jnp.asarray(masks_a), jnp.asarray(masks_b),
+        jnp.float32(t),
+    )
+    for q, (pa, pb) in enumerate(pops):
+        want = oracle.hudson_fst_grouped(sim_dict, pa, pb, t)
+        for field in ("pi_a", "pi_b", "pi_xy", "dxy"):
+            np.testing.assert_allclose(
+                float(getattr(got, field)[q]), want[field], rtol=5e-5,
+                atol=1e-9, err_msg=f"{field} pair {q}",
+            )
+        for field in ("fst", "da"):
+            np.testing.assert_allclose(
+                float(getattr(got, field)[q]), want[field], rtol=2e-3,
+                atol=1e-7, err_msg=f"{field} pair {q}",
+            )
+
+
 def test_fst_3pi_worked_example():
     """doc/how_fst.md:59-65 — πEUR=0.00000279, πAFR=0.00000577,
     πunion=0.00000528 -> Fst = 0.1893939."""
