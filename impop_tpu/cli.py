@@ -862,32 +862,25 @@ def cmd_scan(args) -> int:
 
     with_pairs = bool(pair_list)
 
-    def one_window(g, m, smask, panels1, length, wts):
+    def make_one_window(pairs_disjoint: bool):
+      def one_window(g, m, smask, panels1, length, wts):
         from impop_tpu.stats.allele import panel_afs
-        from impop_tpu.stats.fst import hudson_fst_grouped_pairs
 
         sim, present = identity_from_alleles(
             g, m, smask, length,
             site_weights=wts if use_weights else None,
         )
         s_count = segregating_sites(g, m, smask)
-        res = fused_panel_stats(sim, present, m, panels1, pair_a, pair_b, t)
+        res = fused_panel_stats(sim, present, m, panels1, pair_a, pair_b, t,
+                                pairs_disjoint=pairs_disjoint)
         pi_panel = res.pi[:panels1.shape[0]]
         pi_c = res.pi[panels1.shape[0]:]
         d = tajimas_d(res.n[:panels1.shape[0]],
                       s_count.astype(jnp.float32), pi_panel / length)
         fst = res.hudson.fst
-        if with_pairs:
-            # grouped-method Hudson (hud.py -m grouped), one shared
-            # grouping across all pairs
-            mask_a = panels1[pair_a] & m[None, :]
-            mask_b = panels1[pair_b] & m[None, :]
-            ov = mask_a & mask_b
-            fstg = hudson_fst_grouped_pairs(
-                sim, present, mask_a & ~ov, mask_b & ~ov, t
-            ).fst
-        else:
-            fstg = jnp.zeros_like(fst)
+        # grouped-method Hudson (hud.py -m grouped) comes out of the same
+        # fused reduction via seed-representative weight rows
+        fstg = res.hudson_grouped.fst if with_pairs else jnp.zeros_like(fst)
         pi_ab = 0.5 * (pi_panel[pair_a] + pi_panel[pair_b])
         f3 = jnp.where(pi_c != 0,
                        (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0),
@@ -897,6 +890,8 @@ def cmd_scan(args) -> int:
                if want_afs
                else jnp.zeros((panels1.shape[0], 1), jnp.int32))
         return pi_panel, d, fst, fstg, f3, s_count, n_all, afs
+
+      return one_window
 
     # shard the window batch over every LOCAL device; a single chip
     # degenerates to plain placement.  Multi-device uses shard_map (not
@@ -915,13 +910,23 @@ def cmd_scan(args) -> int:
         from impop_tpu.parallel.mesh import make_mesh, window_sharding
 
         mesh = make_mesh(data=n_dev, devices=local_devs)
-        spec = P("data")
-        step = jax.jit(shard_map(
-            jax.vmap(one_window), mesh=mesh,
-            in_specs=(spec,) * 6, out_specs=spec,
-        ))
-    else:
-        step = jax.jit(jax.vmap(one_window))
+
+    _steps: Dict[bool, object] = {}
+
+    def step_for(pairs_disjoint: bool):
+        """Compiled step per (host-verified) pair-disjointness — disjoint
+        panels skip 2Q masks in the fused grouping pass."""
+        if pairs_disjoint not in _steps:
+            fn = jax.vmap(make_one_window(pairs_disjoint))
+            if mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                spec = P("data")
+                fn = shard_map(fn, mesh=mesh,
+                               in_specs=(spec,) * 6, out_specs=spec)
+            _steps[pairs_disjoint] = jax.jit(fn)
+        return _steps[pairs_disjoint]
 
     def put_batch(arrays):
         if mesh is None:
@@ -1033,11 +1038,17 @@ def cmd_scan(args) -> int:
                     panels[wi, :, :n] = panel_masks_for(tuple(names))
                 else:
                     panels[wi, 0, :n] = True
+            # host-side disjointness check selects the cheaper fused
+            # program (panel lists rarely overlap; both variants cached)
+            disjoint = bool(with_pairs) and not bool(
+                (panels[:, np.asarray(pair_a)] & panels[:, np.asarray(pair_b)]
+                 ).any()
+            )
             with timers.stage("h2d"):
                 dev_args = put_batch((geno, member, smask, panels, lengths,
                                       wts))
             with timers.stage("device"):
-                out_dev = step(*dev_args)
+                out_dev = step_for(disjoint)(*dev_args)
                 jax.block_until_ready(out_dev)
             (pi_v, d_v, fst_v, fstg_v, f3_v, s_v, n_v,
              afs_v) = jax.tree_util.tree_map(np.asarray, out_dev)

@@ -87,8 +87,10 @@ def _chrom_sort_key(chrom: str):
     return (0, int(m.group(1))) if m else (1, chrom)
 
 
-def _compute_offsets(all_rows: List[dict]) -> Dict[str, int]:
-    """Concatenated genome axis offsets (plot_pi_trend.R:237-256)."""
+def _compute_offsets(all_rows: List[dict],
+                     gap: int = 500_000) -> Dict[str, int]:
+    """Concatenated genome axis offsets with the reference's inter-chromosome
+    gap (plot_pi_trend.R:237-256, gap = 5e5)."""
     spans: Dict[str, int] = {}
     for r in all_rows:
         spans[r["chrom"]] = max(spans.get(r["chrom"], 0), r["end"])
@@ -96,8 +98,18 @@ def _compute_offsets(all_rows: List[dict]) -> Dict[str, int]:
     cum = 0
     for chrom in sorted(spans, key=_chrom_sort_key):
         offsets[chrom] = cum
-        cum += spans[chrom]
+        cum += spans[chrom] + gap
     return offsets
+
+
+def _format_bp(bp: float) -> str:
+    """Axis tick label in the reference's Mb/kb style
+    (plot_pi_trend.R format_bp_value)."""
+    if bp >= 1e6:
+        return f"{bp / 1e6:.2f} Mb"
+    if bp >= 1e3:
+        return f"{bp / 1e3:.0f} kb"
+    return f"{bp:.0f}"
 
 
 def plot_trend(args) -> int:
@@ -148,7 +160,45 @@ def plot_trend(args) -> int:
         ys = np.asarray(ys)[order]
         ax.plot(xs, ys, marker="o", markersize=3, linewidth=1, label=label)
 
-    # gold highlight rectangles (plot_pi_trend.R:393-427)
+    # per-chromosome axis furniture (plot_pi_trend.R:343-352, 390-391,
+    # 461-464, 495-496): local Mb tick labels within each chromosome's
+    # span, dashed vlines at chromosome boundaries
+    spans: Dict[str, Tuple[int, int]] = {}
+    for r in all_rows:
+        lo, hi = spans.get(r["chrom"], (r["start"], r["end"]))
+        spans[r["chrom"]] = (min(lo, r["start"]), max(hi, r["end"]))
+    tick_pos: List[float] = []
+    tick_lab: List[str] = []
+    axis_span = max(
+        (spans[c][1] + offsets[c]) for c in spans
+    ) - min((spans[c][0] + offsets[c]) for c in spans) or 1
+    for chrom in sorted(spans, key=_chrom_sort_key):
+        lo, hi = spans[chrom]
+        off = offsets[chrom]
+        # chromosomes occupying a sliver of the concatenated axis get only
+        # their boundary ticks (interior labels would collide)
+        frac = (hi - lo) / axis_span
+        local = np.linspace(lo, hi, num=4 if frac > 0.2 else 2)
+        for bp in local:
+            tick_pos.append(bp + off)
+            tick_lab.append(f"{bp / 1e6:.2f}")
+    ax.set_xticks(tick_pos)
+    ax.set_xticklabels(tick_lab, fontsize=7, rotation=30, ha="right")
+    for chrom in sorted(spans, key=_chrom_sort_key):
+        if offsets[chrom] != 0:
+            ax.axvline(offsets[chrom], color="0.8", linestyle="--",
+                       linewidth=0.6, zorder=0)
+    if len(spans) > 1:
+        # chromosome name centred under its span (the multi-chromosome
+        # concatenated-axis labelling of the R chassis)
+        for chrom in spans:
+            lo, hi = spans[chrom]
+            mid = (lo + hi) / 2 + offsets[chrom]
+            ax.annotate(chrom, xy=(mid, 0), xycoords=("data", "axes fraction"),
+                        xytext=(0, -28), textcoords="offset points",
+                        ha="center", fontsize=9, color="0.3")
+
+    # gold highlight rectangles + labels (plot_pi_trend.R:393-427)
     highlights: List[Tuple[str, int, int]] = []
     for text in args.highlight:
         parsed = _parse_region(text)
@@ -161,8 +211,16 @@ def plot_trend(args) -> int:
             highlights.append((reg.chrom, reg.start, reg.end))
     for chrom, start, end in highlights:
         off = offsets.get(chrom, 0)
-        ax.axvspan(start + off, max(end, start + 1) + off,
-                   color="gold", alpha=0.35, zorder=0)
+        x0 = start + off
+        x1 = max(end, start + 1) + off
+        ax.axvspan(x0, x1, color="gold", alpha=0.35, zorder=0)
+        # "chrom:start-end Mb" text above the rect (plot_pi_trend.R:419-423)
+        ax.annotate(
+            f"{chrom}:{start / 1e6:.2f}-{end / 1e6:.2f} Mb",
+            xy=((x0 + x1) / 2, 1.0), xycoords=("data", "axes fraction"),
+            xytext=(0, 4), textcoords="offset points",
+            ha="center", fontsize=8, color="0.25", clip_on=False,
+        )
 
     if kind == "pi" and not args.linear_y:
         ax.set_yscale("log")  # plot_pi_trend.R log10 default
@@ -173,7 +231,11 @@ def plot_trend(args) -> int:
         ax.set_ylabel("Fst")
     else:
         ax.set_ylabel("Tajima's D")
-    ax.set_xlabel("genomic position (concatenated)")
+    chroms = sorted(spans, key=_chrom_sort_key)
+    if len(chroms) == 1:
+        ax.set_xlabel(f"Genomic Position (Mb, {chroms[0]})")
+    else:
+        ax.set_xlabel("Genomic Position (Mb)")
 
     default_titles = {"pi": "Nucleotide diversity trend",
                       "fst": "Fst trend", "tajd": "Tajima's D trend"}

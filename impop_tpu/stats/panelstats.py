@@ -31,6 +31,10 @@ class PanelStats(NamedTuple):
     pairs_used: jnp.ndarray     # [P+Q]
     pairs_missing: jnp.ndarray  # [P+Q]
     hudson: FstResult           # [Q]-shaped direct-method fields
+    hudson_grouped: FstResult   # [Q]-shaped grouped-method fields (seed
+                                # representatives; == hud.py -m grouped
+                                # whenever every group-seed pair has data —
+                                # see fused_panel_stats docstring)
 
 
 def _use_pallas(n_cap: int) -> bool:
@@ -45,8 +49,22 @@ def fused_panel_stats(
     pair_a: jnp.ndarray,
     pair_b: jnp.ndarray,
     threshold,
+    pairs_disjoint: bool = False,
 ) -> PanelStats:
     """All panel/pair statistics of one window in one fused pass.
+
+    Grouped-method Hudson (hud.py ``-m grouped``) is computed with SEED
+    representatives: within-population diversity and cross-population Dxy
+    are (bi)linear forms of group-frequency weight vectors concentrated on
+    group seeds — two extra rows in the same stacked reduction, instead of
+    per-pair winner searches (3 [N, N] matmuls per pair side, which
+    measured a 40x headline regression on v5e).  hud.py's representative
+    pair for groups (a, b) is the FIRST present pair scanning sorted
+    members (hud.py:88-98), whose first candidate is exactly (seed_a,
+    seed_b) — so this is bit-identical to hud.py whenever every group-seed
+    pair has data, which allele-derived identity matrices guarantee for
+    coverage-overlapping pairs.  The exact any-missing-pair fallback lives
+    in stats/fst.hudson_fst_grouped_pairs (the ``hud`` CLI / TSV path).
 
     Args:
       sim:     [N, N] f32 similarities
@@ -55,34 +73,65 @@ def fused_panel_stats(
       pmasks:  [P, N] bool panel masks
       pair_a/pair_b: [Q] int32 panel indices of the pair batch
       threshold: grouping threshold scalar
+      pairs_disjoint: static promise that no haplotype belongs to both
+        panels of any pair — then the overlap strip is the identity and
+        the stripped sides reuse the PANEL groupings/weights, avoiding 2Q
+        extra masks in the grouping pass.  Callers verify host-side
+        (the built panel masks are host data).
     """
     n_cap = member.shape[0]
     p_count = pmasks.shape[0]
     q_count = pair_a.shape[0]
 
-    unions = pmasks[pair_a] | pmasks[pair_b]
-    all_masks = jnp.concatenate([pmasks, unions], axis=0)      # [P+Q, N]
-    pq = p_count + q_count
-
-    gid = greedy_group_panels(sim, present, member, all_masks, threshold)
-    pm = all_masks & member[None, :]
-    n = jnp.sum(pm.astype(jnp.float32), axis=1)                # [P+Q]
-    sizes = jax.vmap(group_sizes)(gid, pm)                     # [P+Q, N]
-    is_rep = sizes > 0
-    w = jnp.where(
-        is_rep, sizes.astype(jnp.float32) / jnp.maximum(n, 1.0)[:, None], 0.0
-    )
-    rep_f = is_rep.astype(jnp.float32)
-
     # Hudson pair masks, overlap-stripped (h-fst.py:181-185)
     mask_a = pmasks[pair_a] & member[None, :]
     mask_b = pmasks[pair_b] & member[None, :]
-    ov = mask_a & mask_b
-    a_f = (mask_a & ~ov).astype(jnp.float32)
-    b_f = (mask_b & ~ov).astype(jnp.float32)
+    if not pairs_disjoint:
+        ov = mask_a & mask_b
+        mask_a = mask_a & ~ov
+        mask_b = mask_b & ~ov
+    a_f = mask_a.astype(jnp.float32)
+    b_f = mask_b.astype(jnp.float32)
 
-    wd = jnp.concatenate([w, a_f, b_f], axis=0)                # [P+3Q, N]
-    wp = jnp.concatenate([rep_f, a_f, b_f], axis=0)
+    unions = pmasks[pair_a] | pmasks[pair_b]
+    # one shared grouping pass for panels + pair-unions (+ both stripped
+    # sides of every Hudson pair when overlap stripping can change them)
+    pq = p_count + q_count
+    if pairs_disjoint:
+        all_masks = jnp.concatenate([pmasks, unions], axis=0)
+    else:
+        all_masks = jnp.concatenate([pmasks, unions, mask_a, mask_b],
+                                    axis=0)
+
+    gid = greedy_group_panels(sim, present, member, all_masks, threshold)
+    pm = all_masks & member[None, :]
+    n_all = jnp.sum(pm.astype(jnp.float32), axis=1)
+    sizes = jax.vmap(group_sizes)(gid, pm)
+    is_rep_all = sizes > 0
+    w_all = jnp.where(
+        is_rep_all,
+        sizes.astype(jnp.float32) / jnp.maximum(n_all, 1.0)[:, None],
+        0.0,
+    )
+    n = n_all[:pq]
+    w = w_all[:pq]
+    is_rep = is_rep_all[:pq]
+    rep_f = is_rep.astype(jnp.float32)
+    # grouped-Hudson weight vectors (stripped-side groupings; with
+    # disjoint pairs the stripped side IS the panel, so reuse its rows)
+    if pairs_disjoint:
+        wga = w[pair_a]
+        wgb = w[pair_b]
+        n_a = n[pair_a]
+        n_b = n[pair_b]
+    else:
+        wga = w_all[pq:pq + q_count]                           # [Q, N]
+        wgb = w_all[pq + q_count:]
+        n_a = n_all[pq:pq + q_count]
+        n_b = n_all[pq + q_count:]
+
+    wd = jnp.concatenate([w, a_f, b_f, wga, wgb], axis=0)      # [P+5Q, N]
+    wp = jnp.concatenate([rep_f, a_f, b_f, wga, wgb], axis=0)
 
     if _use_pallas(n_cap):
         from impop_tpu.ops.panelquad import masked_pair_sums_pallas
@@ -107,9 +156,9 @@ def fused_panel_stats(
 
     # Hudson direct (hudson_fst_direct_pairs semantics)
     yd_a = yd[pq:pq + q_count]
-    yd_b = yd[pq + q_count:]
+    yd_b = yd[pq + q_count:pq + 2 * q_count]
     yp_a = yp[pq:pq + q_count]
-    yp_b = yp[pq + q_count:]
+    yp_b = yp[pq + q_count:pq + 2 * q_count]
     sum_aa, cnt_aa = rowdot(yd_a, a_f) * 0.5, rowdot(yp_a, a_f) * 0.5
     sum_bb, cnt_bb = rowdot(yd_b, b_f) * 0.5, rowdot(yp_b, b_f) * 0.5
     sum_ab, cnt_ab = rowdot(yd_a, b_f), rowdot(yp_a, b_f)
@@ -117,7 +166,20 @@ def fused_panel_stats(
     pi_b = jnp.where(cnt_bb > 0, sum_bb / jnp.maximum(cnt_bb, 1.0), 0.0)
     dxy = jnp.where(cnt_ab > 0, sum_ab / jnp.maximum(cnt_ab, 1.0), 0.0)
 
+    # Hudson grouped, seed representatives (hud.py:100-128, 235-263):
+    # within = Bessel * quadratic form of the side's group weights; Dxy =
+    # bilinear form between the two sides' weights (no Bessel) — reusing
+    # the yd rows already computed by the fused reduction.
+    yd_ga = yd[pq + 2 * q_count:pq + 3 * q_count]
+    yd_gb = yd[pq + 3 * q_count:]
+    bessel_a = jnp.where(n_a > 1, n_a / jnp.maximum(n_a - 1.0, 1.0), 0.0)
+    bessel_b = jnp.where(n_b > 1, n_b / jnp.maximum(n_b - 1.0, 1.0), 0.0)
+    gpi_a = rowdot(yd_ga, wga) * bessel_a
+    gpi_b = rowdot(yd_gb, wgb) * bessel_b
+    gdxy = rowdot(yd_ga, wgb)
+
     return PanelStats(
         pi, n, num_groups, pairs_used, pairs_total - pairs_used,
         _assemble(pi_a, pi_b, dxy),
+        _assemble(gpi_a, gpi_b, gdxy),
     )

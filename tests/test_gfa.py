@@ -165,3 +165,124 @@ def test_gfa_dir_pi_matches_geno_dir(tmp_path):
     assert main(common + ["--gfa-dir", str(fdir), "-o", str(out_b)]) == 0
     assert out_a.read_text() == out_b.read_text()
     assert "0" in out_a.read_text()
+
+
+# ------------------------------------------------- adversarial graph shapes
+
+
+def test_w_line_start_offset_sets_genomic_positions():
+    """odgi-style W lines with non-zero seqStart: variant positions come out
+    in GENOMIC coordinates (the start was previously dropped)."""
+    gfa = "\n".join([
+        "H\tVN:Z:1.1",
+        "S\t1\tAAAA",
+        "S\t2\tC",
+        "S\t3\tT",
+        "S\t4\tGGGG",
+        # reference walk covers chr1[5000, 5009)
+        "W\tCHM13\t0\tchr1\t5000\t5009\t>1>2>4",
+        "W\tHG1\t1\tc0\t0\t9\t>1>3>4",
+    ])
+    g = read_gfa(gfa)
+    assert g.path_start["CHM13#0#chr1"] == 5000
+    wm, ref = alleles_from_gfa(g, ref_path="CHM13#0#chr1")
+    assert ref == "CHM13#0#chr1"
+    assert wm.site_keys == ["5004:C>T"]
+    assert wm.names == ["HG1#1#c0"]
+    np.testing.assert_array_equal(wm.geno, [[1]])
+
+
+def test_nested_bubble_variant_call():
+    """A bubble inside a bubble: the inner variation folds into one variant
+    region between the outer anchors (anchor-chain semantics)."""
+    gfa = "\n".join([
+        "H\tVN:Z:1.0",
+        "S\t1\tAAAA",        # anchor
+        "S\t2\tCC",          # outer ref branch part 1
+        "S\t3\tG",           # inner bubble ref
+        "S\t4\tT",           # inner bubble alt
+        "S\t5\tCC",          # outer branch part 2
+        "S\t6\tTTTT",        # anchor
+        "S\t7\tAGAGA",       # outer alt branch (whole replacement)
+        "P\tCHM13#0#chr2:100-112\t1+,2+,3+,5+,6+\t*",
+        "P\thapInner\t1+,2+,4+,5+,6+\t*",   # inner bubble alt only
+        "P\thapOuter\t1+,7+,6+\t*",         # outer replacement
+    ])
+    g = read_gfa(gfa)
+    wm, _ = alleles_from_gfa(g, ref_path="CHM13#0#chr2:100-112")
+    got = dict(zip(wm.names, map(tuple, wm.geno)))
+    # inner: ref CCGCC vs CCTCC -> trimmed SNP G>T at 104+2
+    assert "106:G>T" in wm.site_keys
+    # outer: ref CCGCC vs AGAGA at 104
+    assert "104:CCGCC>AGAGA" in wm.site_keys
+    i_inner = wm.site_keys.index("106:G>T")
+    i_outer = wm.site_keys.index("104:CCGCC>AGAGA")
+    assert got["hapInner"][i_inner] == 1 and got["hapInner"][i_outer] == 0
+    assert got["hapOuter"][i_outer] == 1 and got["hapOuter"][i_inner] == 0
+
+
+def test_inversion_calls_revcomp_substitution():
+    """A '-' oriented traversal of a reference segment is an inversion: the
+    region between anchors differs by reverse complement and must surface
+    as a substitution variant with the revcomp alt."""
+    gfa = "\n".join([
+        "H\tVN:Z:1.0",
+        "S\t1\tAAAA",
+        "S\t2\tACGGT",
+        "S\t3\tTTTT",
+        "P\tCHM13#0#chr3:0-13\t1+,2+,3+\t*",
+        "P\thapInv\t1+,2-,3+\t*",
+    ])
+    g = read_gfa(gfa)
+    wm, _ = alleles_from_gfa(g, ref_path="CHM13#0#chr3:0-13")
+    assert wm.names == ["hapInv"]
+    # revcomp(ACGGT) = ACCGT; shared prefix AC and suffix GT trim away,
+    # leaving the G>C core of the inversion at position 4+2
+    assert wm.site_keys == ["6:G>C"]
+    np.testing.assert_array_equal(wm.geno, [[1]])
+
+
+def test_odgi_style_numeric_graph_with_offset_walks():
+    """An odgi-normalised shape: numeric ids, W lines with offsets, several
+    haplotypes sharing bubbles — S equals the distinct variant count and
+    the gfa2vcf CLI agrees."""
+    import io
+    from contextlib import redirect_stdout
+
+    from impop_tpu.cli import main
+
+    gfa = "\n".join([
+        "H\tVN:Z:1.1",
+        "S\t1\tACGTACGT",
+        "S\t2\tA",
+        "S\t3\tG",
+        "S\t4\tCCCC",
+        "S\t5\tTT",
+        "S\t6\tGGGGGGGG",
+        "W\tCHM13\t0\tchr4\t2000\t2022\t>1>2>4>5>6",
+        "W\tHG1\t1\tc1\t0\t22\t>1>3>4>5>6",    # SNP A>G at 2008
+        "W\tHG2\t1\tc2\t0\t20\t>1>2>4>6",      # deletion TT at 2013
+        "W\tHG3\t2\tc3\t0\t22\t>1>3>4>5>6",    # same SNP as HG1
+    ])
+    g = read_gfa(gfa)
+    wm, ref = alleles_from_gfa(g, ref_path="CHM13#0#chr4")
+    assert set(wm.site_keys) == {"2008:A>G", "2013:TT>"}
+    got = dict(zip(wm.names, wm.geno))
+    snp = wm.site_keys.index("2008:A>G")
+    dele = wm.site_keys.index("2013:TT>")
+    assert got["HG1#1#c1"][snp] == 1 and got["HG1#1#c1"][dele] == 0
+    assert got["HG2#1#c2"][dele] == 1 and got["HG2#1#c2"][snp] == 0
+    assert got["HG3#2#c3"][snp] == 1
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "w.gfa")
+        with open(path, "w") as fh:
+            fh.write(gfa + "\n")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            main(["gfa2vcf", path, "--ref", "CHM13#0#chr4"])
+        records = [l for l in buf.getvalue().splitlines()
+                   if l and not l.startswith("#")]
+        assert len(records) == 2  # S == distinct variants (povu contract)
+        assert records[0].split("\t")[0] == "CHM13#0#chr4"

@@ -54,6 +54,65 @@ def test_fused_matches_composed(rng):
         )
 
 
+def test_fused_grouped_hudson_matches_exact_on_complete_present(rng):
+    """The fused seed-representative grouped Hudson == the exact first-pair
+    path (stats/fst.hudson_fst_grouped_pairs) whenever every pair has data
+    — the allele-derived-identity case the fused scan runs on."""
+    import jax
+
+    from impop_tpu.stats.fst import hudson_fst_grouped_pairs
+
+    sim, present, member, pmasks = _window(rng)
+    present = jnp.ones_like(present)  # complete pair matrix
+    pair_a = jnp.asarray([0, 0, 1, 2], jnp.int32)
+    pair_b = jnp.asarray([1, 2, 3, 3], jnp.int32)
+    t = 0.995
+
+    got = fused_panel_stats(sim, present, member, pmasks, pair_a, pair_b, t)
+    mask_a = pmasks[pair_a] & member[None, :]
+    mask_b = pmasks[pair_b] & member[None, :]
+    ov = mask_a & mask_b
+    want = jax.jit(hudson_fst_grouped_pairs)(
+        sim, present, mask_a & ~ov, mask_b & ~ov, jnp.float32(t)
+    )
+    for f in ("pi_a", "pi_b", "dxy"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.hudson_grouped, f)),
+            np.asarray(getattr(want, f)), rtol=1e-5, atol=1e-8, err_msg=f,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got.hudson_grouped.fst), np.asarray(want.fst),
+        rtol=2e-3, atol=1e-6,
+    )
+
+
+def test_pairs_disjoint_fast_path_equivalence(rng):
+    """pairs_disjoint=True (panel-row reuse) == the general path on
+    actually-disjoint panels."""
+    sim, present, member, _ = _window(rng)
+    n = member.shape[0]
+    pmasks = np.zeros((4, n), bool)
+    for pi in range(4):
+        pmasks[pi, pi::4] = True          # partition: disjoint by design
+    pmasks = jnp.asarray(pmasks)
+    pair_a = jnp.asarray([0, 0, 1, 2], jnp.int32)
+    pair_b = jnp.asarray([1, 2, 3, 3], jnp.int32)
+    t = 0.995
+    a = fused_panel_stats(sim, present, member, pmasks, pair_a, pair_b, t,
+                          pairs_disjoint=False)
+    b = fused_panel_stats(sim, present, member, pmasks, pair_a, pair_b, t,
+                          pairs_disjoint=True)
+    for group in ("hudson", "hudson_grouped"):
+        for f in ("fst", "pi_a", "pi_b", "dxy"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(getattr(a, group), f)),
+                np.asarray(getattr(getattr(b, group), f)),
+                rtol=1e-6, atol=1e-9, err_msg=f"{group}.{f}",
+            )
+    np.testing.assert_allclose(np.asarray(a.pi), np.asarray(b.pi),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_panelquad_pallas_matches_xla(rng):
     from impop_tpu.ops.panelquad import (masked_pair_sums_pallas,
                                          masked_pair_sums_xla)
