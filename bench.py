@@ -203,7 +203,9 @@ def bench_e2e_scan():
 
     tmp = tempfile.mkdtemp(prefix="impop_bench_")
     try:
-        ref_len = 400_000  # two 200kb units
+        ref_len = 1_000_000  # five 200kb units -> 5 device batches, so the
+                             # steady-state rate rests on 4 post-compile
+                             # samples instead of 1
         sim = simulate(tmp, ref_len=ref_len, n_haps=N_HAP - 1,
                        site_pool=ref_len // 60, seed=11,
                        span=(0, ref_len))

@@ -831,14 +831,26 @@ def cmd_scan(args) -> int:
     import functools as _functools
 
     @_functools.lru_cache(maxsize=64)
-    def panel_masks_for(names_key: tuple) -> np.ndarray:
-        masks = np.zeros((p_count, len(names_key)), dtype=bool)
+    def _masks_for_stems(stems_key: tuple) -> np.ndarray:
+        masks = np.zeros((p_count, len(stems_key)), dtype=bool)
         for pi_idx, plist in enumerate(panel_lists):
-            matched, _ = expand_population(plist, list(names_key))
-            for k, nm in enumerate(names_key):
+            matched, _ = expand_population(plist, list(stems_key))
+            for k, nm in enumerate(stems_key):
                 if nm in matched:
                     masks[pi_idx, k] = True
         return masks
+
+    def panel_masks_for(names_key: tuple) -> np.ndarray:
+        # Extracted sequence names carry per-window ``:start-end`` range
+        # suffixes, so caching on the raw tuple misses every window and
+        # re-runs the O(panel entries x names) prefix match each time
+        # (measured 15 s of a 21 s 200-window scan).  Panel prefixes are
+        # '#'-terminated assembly identifiers (h-fst.py:18-61) that never
+        # reach into the range suffix, so match on the stems: one cache
+        # entry serves the whole scan.
+        return _masks_for_stems(
+            tuple(n.split(":", 1)[0] for n in names_key)
+        )
 
     header = ["REGION", "LENGTH", "SAMPLES", "SEGREGATING_SITES"]
     if panel_lists:
@@ -1049,9 +1061,12 @@ def cmd_scan(args) -> int:
                                       wts))
             with timers.stage("device"):
                 out_dev = step_for(disjoint)(*dev_args)
-                jax.block_until_ready(out_dev)
-            (pi_v, d_v, fst_v, fstg_v, f3_v, s_v, n_v,
-             afs_v) = jax.tree_util.tree_map(np.asarray, out_dev)
+                # the device-to-host fetch IS the barrier: through the
+                # remote-TPU tunnel block_until_ready can return before
+                # execution finishes (CLAUDE.md), which would silently move
+                # compile+execute time out of this stage
+                (pi_v, d_v, fst_v, fstg_v, f3_v, s_v, n_v,
+                 afs_v) = jax.tree_util.tree_map(np.asarray, out_dev)
             timers.add_windows(len(kept))
             for wi, (reg, rs) in enumerate(kept):
                 cells = [rs, str(reg.length), str(int(n_v[wi])),
