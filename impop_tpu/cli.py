@@ -575,12 +575,81 @@ def cmd_fst3pi(args) -> int:
 # --------------------------------------------------------------- tajima's d
 
 
+def _tajd_streamed(args, regions) -> int:
+    """One chromosome-scale window streamed through the device in site
+    chunks (runtime/sitestream.py) — the no-length-cap regime the reference
+    cannot reach (impg caps windows at ~10 kb, doc/how_pi.md:40).  The
+    allele matrix is a memory-mapped [N, S] int8 .npy, so neither host nor
+    device ever holds the full site axis."""
+    from impop_tpu.runtime.sitestream import SiteStreamAccumulator
+
+    if len(regions) != 1:
+        raise SystemExit("error: --stream-npy processes exactly one window "
+                         f"(BED has {len(regions)} rows)")
+    reg = regions[0]
+    rs = reg.region_string(args.prefix)
+    geno = np.load(args.stream_npy, mmap_mode="r")
+    if geno.ndim != 2:
+        raise SystemExit("error: --stream-npy must be a 2-D [N, S] matrix")
+    n_rows, s_total = geno.shape
+
+    names = None
+    if getattr(args, "stream_names", None):
+        names = read_panel_file(args.stream_names)
+        if len(names) != n_rows:
+            raise SystemExit(f"error: {len(names)} names for {n_rows} rows")
+    # deterministic seed order = sorted sequence-name row order
+    order = (np.argsort(names) if names is not None
+             else np.arange(n_rows))
+    member = np.ones(n_rows, bool)
+    if args.samples:
+        if names is None:
+            raise SystemExit("error: -s filtering needs --stream-names")
+        from impop_tpu.io.panels import expand_population
+
+        sorted_names = [names[i] for i in order]
+        matched, _ = expand_population(read_panel_file(args.samples),
+                                       sorted_names)
+        member = np.asarray([nm in matched for nm in sorted_names], bool)
+
+    length = args.length or reg.length
+    chunk = max(128, args.chunk_sites)
+    acc = SiteStreamAccumulator(member, chunk_s=chunk)
+    for lo in range(0, s_total, chunk):
+        acc.update(np.ascontiguousarray(geno[order, lo:lo + chunk]))
+    st = acc.finalize(float(length), args.threshold)
+
+    n_val = int(np.asarray(st.n))
+    s_val = int(np.asarray(st.s))
+    pi_val = float(np.asarray(st.pi_site))
+    d_val = float(np.asarray(st.d))
+    out = _out_stream(args.output)
+    try:
+        print(tables.TAJD_HEADER, file=out)
+        print(tables.tajd_row(rs, int(length), n_val, s_val, pi_val, d_val),
+              file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    if args.log_dir:
+        _write_window_log(args.log_dir, rs, "Tajima's D Calculation",
+                          {"region": rs, "length": int(length),
+                           "threshold": args.threshold, "n": n_val,
+                           "segregating_sites": s_val,
+                           "pi_per_site": pi_val,
+                           "tajimas_d": "NA" if np.isnan(d_val) else d_val,
+                           "site_chunks": (s_total + chunk - 1) // chunk})
+    return 0
+
+
 def cmd_tajd(args) -> int:
     import jax.numpy as jnp
 
     from impop_tpu.parallel.scan import batch_tajd_from_alleles
 
     regions = read_bed(args.bed)
+    if getattr(args, "stream_npy", None):
+        return _tajd_streamed(args, regions)
     if not args.geno_dir and not getattr(args, "gfa_dir", None):
         raise SystemExit("error: provide --geno-dir or --gfa-dir")
     geno_src = (GenoSource(args.geno_dir) if args.geno_dir
@@ -1755,6 +1824,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of per-window variation graphs (.gfa)")
     p.add_argument("-l", "--length", type=int)
     p.add_argument("-s", "--samples", help="sample list file")
+    p.add_argument("--stream-npy",
+                   help="single chromosome-scale window: memory-mapped "
+                        "[N, S] int8 .npy allele matrix streamed through "
+                        "the device in site chunks (no length cap; the "
+                        "BED must contain exactly one row)")
+    p.add_argument("--stream-names",
+                   help="sequence names for --stream-npy rows (one per "
+                        "line, required with -s panel filtering)")
+    p.add_argument("--chunk-sites", type=int, default=4096,
+                   help="site-chunk width for --stream-npy (default 4096)")
     p.set_defaults(func=cmd_tajd)
 
     p = sub.add_parser("afs", help="allele-class cluster frequencies (af.py)")

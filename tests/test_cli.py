@@ -150,6 +150,31 @@ def test_cli_tajd(fixture_dir, rng):
     assert fields[3] == str(want_s)
 
 
+def test_cli_tajd_streamed_matches_batched(fixture_dir, rng):
+    """--stream-npy (host-streamed site chunks, runtime/sitestream.py)
+    reproduces the batched --geno-dir row on the same window."""
+    genodir = fixture_dir / "genodir_stream"
+    genodir.mkdir()
+    n, s = 12, 700
+    classes = rng.integers(0, 2, size=(4, s)).astype(np.int8)
+    geno = classes[rng.integers(0, 4, size=n)]
+    names = np.array([f"h{i:02d}#1#c" for i in range(n)])
+    np.savez(genodir / "chr1:0-1000000.npz", geno=geno, names=names)
+    out_b = fixture_dir / "tajd_b.tsv"
+    main(["tajd", "-b", str(fixture_dir / "one.bed"), "-P", "",
+          "--geno-dir", str(genodir), "-o", str(out_b)])
+
+    npy = fixture_dir / "stream.npy"
+    np.save(npy, geno)
+    namesf = fixture_dir / "stream.names"
+    namesf.write_text("\n".join(names) + "\n")
+    out_s = fixture_dir / "tajd_s.tsv"
+    main(["tajd", "-b", str(fixture_dir / "one.bed"), "-P", "",
+          "--stream-npy", str(npy), "--stream-names", str(namesf),
+          "--chunk-sites", "256", "-o", str(out_s)])
+    assert _lines(out_b) == _lines(out_s)
+
+
 def test_cli_skips_missing_window(fixture_dir, capsys):
     (fixture_dir / "two.bed").write_text("chr1\t0\t1000000\nchr9\t0\t100\n")
     out = fixture_dir / "pi2.tsv"
