@@ -1074,60 +1074,92 @@ def cmd_scan(args) -> int:
                 kept.append((reg, rs))
             return tiles, kept, failures
 
-        # pipeline: extract batch k+1 on a worker thread while the device
-        # computes batch k (the reference is fully sequential per window)
+        def prepare_chunk(chunk, n_chunks):
+            """Worker-side: extract + pad + submit H2D for one batch.
+
+            Runs on the prefetch thread so extraction AND the host→device
+            transfer of batch k+1 overlap the device compute of batch k
+            (device_put is async and thread-safe); its stage timers
+            therefore overlap the main thread's device stage — in a
+            pipeline the stage totals intentionally exceed nothing and sum
+            to more than elapsed.
+            """
+            with timers.stage("extract"):
+                tiles, kept, failures = load_chunk(chunk)
+            if not tiles:
+                return None, kept, failures, False
+            with timers.stage("build"):
+                cap_n = _capacity_for([t0.shape[0] for t0, *_ in tiles])
+                cap_s = max(128, max(t0.shape[1] for t0, *_ in tiles))
+                cap_s = ((cap_s + 127) // 128) * 128
+                # pad a short final batch to the full batch size so it
+                # reuses the compiled program (a fresh shape costs a
+                # 15-25 s compile)
+                w = batch_size if n_chunks > 1 else len(tiles)
+                geno = np.full((w, cap_n, cap_s), -1, dtype=np.int8)
+                member = np.zeros((w, cap_n), bool)
+                smask = np.zeros((w, cap_s), bool)
+                panels = np.zeros((w, p_count, cap_n), bool)
+                lengths = np.zeros(w, np.float32)
+                wts = np.ones((w, cap_s), np.float32)
+                for wi, ((g, names, keys), (reg, rs)) in enumerate(
+                        zip(tiles, kept)):
+                    n, s = g.shape
+                    geno[wi, :n, :s] = g
+                    member[wi, :n] = True
+                    smask[wi, :s] = True
+                    lengths[wi] = reg.length
+                    if use_weights and keys is not None:
+                        from impop_tpu.extract import site_weights_from_keys
+
+                        wts[wi, :s] = site_weights_from_keys(keys)
+                    if panel_lists:
+                        panels[wi, :, :n] = panel_masks_for(tuple(names))
+                    else:
+                        panels[wi, 0, :n] = True
+                # host-side disjointness check selects the cheaper fused
+                # program (panel lists rarely overlap; both variants cached)
+                disjoint = bool(with_pairs) and not bool(
+                    (panels[:, np.asarray(pair_a)]
+                     & panels[:, np.asarray(pair_b)]).any()
+                )
+            with timers.stage("h2d"):
+                dev_args = put_batch((geno, member, smask, panels, lengths,
+                                      wts))
+            return dev_args, kept, failures, disjoint
+
+        # pipeline: the worker thread extracts AND stages batch k+1 in HBM
+        # while the device computes batch k (the reference is fully
+        # sequential per window); at most 2 prepared batches are in flight
+        # so prefetch cannot outrun HBM
+        import collections as _coll
         import concurrent.futures as _fut
 
         chunks = [pending[lo:lo + batch_size]
                   for lo in range(0, len(pending), batch_size)]
         pool = _fut.ThreadPoolExecutor(max_workers=1)
-        futures = iter([pool.submit(load_chunk, c) for c in chunks])
+        inflight = _coll.deque()
+        next_submit = 0
+
+        def _top_up():
+            nonlocal next_submit
+            while next_submit < len(chunks) and len(inflight) < 2:
+                inflight.append(pool.submit(prepare_chunk,
+                                            chunks[next_submit], len(chunks)))
+                next_submit += 1
+
+        _top_up()
         n_done = n_failed = 0
-        for _chunk_idx in range(len(chunks)):
-            with timers.stage("extract"):
-                tiles, kept, failures = next(futures).result()
+        while inflight:
+            with timers.stage("wait_input"):
+                dev_args, kept, failures, disjoint = inflight.popleft().result()
+            _top_up()
             for rs, err in failures:
                 _warn(f"Warning: {rs}: {err}; recording NA")
                 journal.record_failure(rs, err)
                 n_failed += 1
-            if not tiles:
+            if dev_args is None:
                 continue
-            cap_n = _capacity_for([t0.shape[0] for t0, *_ in tiles])
-            cap_s = max(128, max(t0.shape[1] for t0, *_ in tiles))
-            cap_s = ((cap_s + 127) // 128) * 128
-            # pad a short final batch to the full batch size so it reuses
-            # the compiled program (a fresh shape costs a 15-25 s compile)
-            w = batch_size if len(chunks) > 1 else len(tiles)
-            geno = np.full((w, cap_n, cap_s), -1, dtype=np.int8)
-            member = np.zeros((w, cap_n), bool)
-            smask = np.zeros((w, cap_s), bool)
-            panels = np.zeros((w, p_count, cap_n), bool)
-            lengths = np.zeros(w, np.float32)
-            wts = np.ones((w, cap_s), np.float32)
-            for wi, ((g, names, keys), (reg, rs)) in enumerate(
-                    zip(tiles, kept)):
-                n, s = g.shape
-                geno[wi, :n, :s] = g
-                member[wi, :n] = True
-                smask[wi, :s] = True
-                lengths[wi] = reg.length
-                if use_weights and keys is not None:
-                    from impop_tpu.extract import site_weights_from_keys
-
-                    wts[wi, :s] = site_weights_from_keys(keys)
-                if panel_lists:
-                    panels[wi, :, :n] = panel_masks_for(tuple(names))
-                else:
-                    panels[wi, 0, :n] = True
-            # host-side disjointness check selects the cheaper fused
-            # program (panel lists rarely overlap; both variants cached)
-            disjoint = bool(with_pairs) and not bool(
-                (panels[:, np.asarray(pair_a)] & panels[:, np.asarray(pair_b)]
-                 ).any()
-            )
-            with timers.stage("h2d"):
-                dev_args = put_batch((geno, member, smask, panels, lengths,
-                                      wts))
             with timers.stage("device"):
                 out_dev = step_for(disjoint)(*dev_args)
                 # the device-to-host fetch IS the barrier: through the
@@ -1140,7 +1172,7 @@ def cmd_scan(args) -> int:
             for wi, (reg, rs) in enumerate(kept):
                 cells = [rs, str(reg.length), str(int(n_v[wi])),
                          str(int(s_v[wi]))]
-                for pi_idx in range(panels.shape[1]):
+                for pi_idx in range(p_count):
                     pi_site = float(pi_v[wi, pi_idx]) / reg.length
                     d_val = float(d_v[wi, pi_idx])
                     cells += [f"{pi_site:.8f}",
