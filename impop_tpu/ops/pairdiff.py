@@ -31,7 +31,7 @@ __all__ = ["pairwise_identity_pallas", "pairwise_identity_xla"]
 
 
 def _kernel(xi_ref, xj_ref, w_ref, mi_ref, mj_ref, len_ref,
-            sim_ref, pres_ref, acc_diff, acc_cmp):
+            sim_ref, pres_ref, acc_diff, acc_cmp, *, operand_dtype):
     """One (Ti, Tj) output tile, accumulating over the S grid axis."""
     s_idx = pl.program_id(2)
     n_s = pl.num_programs(2)
@@ -52,14 +52,21 @@ def _kernel(xi_ref, xj_ref, w_ref, mi_ref, mj_ref, len_ref,
     ci = vi - ai  # complement within valid sites
     cj = vj - aj
 
-    # diff += (ai·w)·cjᵀ + (ci·w)·ajᵀ ; compared += vi·vjᵀ   (all MXU)
+    # diff += (ai·w)·cjᵀ + (ci·w)·ajᵀ ; compared += vi·vjᵀ   (all MXU).
+    # With unit weights every operand is a 0/1 indicator, so bf16 inputs
+    # with f32 accumulation are EXACT (counts stay < 2^24) and run at the
+    # MXU's native bf16 rate instead of multi-pass f32 (operand_dtype is
+    # selected by the caller; non-unit site weights keep f32).
+    def dt(x):
+        return x.astype(operand_dtype)
+
     acc_diff[:] += (
-        jax.lax.dot_general(ai * w, cj, (((1,), (1,)), ((), ())),
+        jax.lax.dot_general(dt(ai * w), dt(cj), (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(ci * w, aj, (((1,), (1,)), ((), ())),
+        + jax.lax.dot_general(dt(ci * w), dt(aj), (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     )
-    acc_cmp[:] += jax.lax.dot_general(vi, vj, (((1,), (1,)), ((), ())),
+    acc_cmp[:] += jax.lax.dot_general(dt(vi), dt(vj), (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
 
     @pl.when(s_idx == n_s - 1)
@@ -117,9 +124,15 @@ def pairwise_identity_pallas(
     w = (jnp.ones((1, s), jnp.float32) if site_weights is None
          else site_weights.astype(jnp.float32).reshape(1, s))
 
+    # bf16 operands are exact for 0/1 indicators; integral site weights up
+    # to 256 also round-trip bf16 exactly, but arbitrary weights must keep
+    # f32 (column-mode identity uses indel base lengths — small ints, yet
+    # the guarantee is per-value, so gate on the common unit-weight case)
+    operand_dtype = jnp.bfloat16 if site_weights is None else jnp.float32
+
     grid = (n // tile_n, n // tile_n, s // tile_s)
     sim, pres = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, operand_dtype=operand_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, tile_s), lambda i, j, k: (i, k),
