@@ -193,6 +193,38 @@ def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192):
     }
 
 
+def bench_ehh(iters=8, w=64, n=CAP_N, s=CAP_S):
+    """EHH regime: batched bidirectional decay areas for both alleles at
+    the focal site of every window (wip/ehhgfa.py:47-69 capability) — one
+    compiled program for the whole window batch, vs the reference's
+    per-(carriers, suffix) numpy loops."""
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.ehh import ehh_area_batch
+
+    rng = np.random.default_rng(13)
+    classes = rng.integers(0, 2, size=(8, s)).astype(np.int8)
+    g = classes[rng.integers(0, 8, size=(w, n))]
+    member = np.zeros((w, n), bool)
+    member[:, :N_HAP] = True
+    smask = np.ones((w, s), bool)
+    alleles = jnp.asarray([0, 1], jnp.int8)
+
+    g_d = jax.device_put(jnp.asarray(g))
+    m_d = jax.device_put(jnp.asarray(member))
+    sm_d = jax.device_put(jnp.asarray(smask))
+    out = ehh_area_batch(g_d, m_d, sm_d, s // 2, alleles)
+    _ = np.asarray(out[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = ehh_area_batch(g_d, m_d, sm_d, s // 2, alleles)
+    _ = np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    return {"windows_per_sec": round(w * iters / dt, 1),
+            "units_per_sec": round(w * iters / dt / UNIT_WINDOWS, 2)}
+
+
 def bench_e2e_scan():
     """Honest end-to-end: the scan CLI on simulated PAF+FASTA — native
     extraction + H2D + device + emit.  Steady-state rate excludes only the
@@ -315,6 +347,11 @@ def main():
         long_window = {"error": str(e)[:200]}
 
     try:
+        ehh = bench_ehh()
+    except Exception as e:
+        ehh = {"error": str(e)[:200]}
+
+    try:
         e2e = bench_e2e_scan()
     except Exception as e:
         e2e = {"error": str(e)[:200]}
@@ -326,6 +363,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "e2e": e2e,
         "long_window": long_window,
+        "ehh": ehh,
     }))
 
 
