@@ -601,7 +601,12 @@ def _tajd_streamed(args, regions) -> int:
     # deterministic seed order = sorted sequence-name row order
     order = (np.argsort(names) if names is not None
              else np.arange(n_rows))
+    # S (and the accumulated counts) cover ALL rows — the reference counts
+    # segregating sites over the whole window graph (run_tajd.sh:148); a -s
+    # subset restricts only the grouped-π membership at finalize, exactly
+    # like the batched --geno-dir path's panel mask (cmd_tajd panels[wi,0])
     member = np.ones(n_rows, bool)
+    pi_member = None
     if args.samples:
         if names is None:
             raise SystemExit("error: -s filtering needs --stream-names")
@@ -610,14 +615,14 @@ def _tajd_streamed(args, regions) -> int:
         sorted_names = [names[i] for i in order]
         matched, _ = expand_population(read_panel_file(args.samples),
                                        sorted_names)
-        member = np.asarray([nm in matched for nm in sorted_names], bool)
+        pi_member = np.asarray([nm in matched for nm in sorted_names], bool)
 
     length = args.length or reg.length
     chunk = max(128, args.chunk_sites)
     acc = SiteStreamAccumulator(member, chunk_s=chunk)
     for lo in range(0, s_total, chunk):
         acc.update(np.ascontiguousarray(geno[order, lo:lo + chunk]))
-    st = acc.finalize(float(length), args.threshold)
+    st = acc.finalize(float(length), args.threshold, pi_member=pi_member)
 
     n_val = int(np.asarray(st.n))
     s_val = int(np.asarray(st.s))

@@ -68,7 +68,12 @@ def _step(state, geno, member, site_mask, site_weights,
     if afs_max_n > 0:
         afs = afs + allele_frequency_spectrum(geno, member, site_mask,
                                               afs_max_n, folded)
-    return diff + d_c, comp + c_c, s_tot + s_c, afs
+    # per-chunk matmul results are exact in f32 (values <= chunk_s * w_max);
+    # the running totals accumulate in the state dtype — int32 for unit
+    # weights so chromosome-scale sums stay exact past 2^24 (f32 would
+    # silently round there), f32 when arbitrary site weights are in play
+    return (diff + d_c.astype(diff.dtype), comp + c_c.astype(comp.dtype),
+            s_tot + s_c, afs)
 
 
 class SiteStreamAccumulator:
@@ -81,21 +86,28 @@ class SiteStreamAccumulator:
       num_alleles: allele-code alphabet size (2 = biallelic fast path).
       afs_max_n: spectrum histogram size (0 disables AFS accumulation).
       folded: minor-allele (True) vs derived-allele (False) spectrum.
+      weighted: True if updates will carry per-site weights (column-mode
+        identity).  Unweighted accumulators keep diff/compared in int32, so
+        counts stay exact past the f32 2^24 ceiling (a whole-chromosome
+        site axis can exceed 16.7M mutually-valid sites per pair); weighted
+        ones accumulate f32 and are exact while Σ weights < 2^24 per pair.
     """
 
     def __init__(self, member: np.ndarray, chunk_s: int = 4096,
                  num_alleles: int = 2, afs_max_n: int = 0,
-                 folded: bool = True):
+                 folded: bool = True, weighted: bool = False):
         member = np.asarray(member, bool)
         self.n_cap = member.shape[0]
         self.chunk_s = int(chunk_s)
         self.num_alleles = int(num_alleles)
         self.afs_max_n = int(afs_max_n)
         self.folded = bool(folded)
+        self.weighted = bool(weighted)
         self._member = jax.device_put(member)
+        acc_dtype = jnp.float32 if self.weighted else jnp.int32
         self._state = (
-            jnp.zeros((self.n_cap, self.n_cap), jnp.float32),
-            jnp.zeros((self.n_cap, self.n_cap), jnp.float32),
+            jnp.zeros((self.n_cap, self.n_cap), acc_dtype),
+            jnp.zeros((self.n_cap, self.n_cap), acc_dtype),
             jnp.zeros((), jnp.int32),
             jnp.zeros((max(self.afs_max_n, 0) + 1,), jnp.int32),
         )
@@ -111,6 +123,10 @@ class SiteStreamAccumulator:
         """
         if self._finalized:
             raise RuntimeError("accumulator already finalized")
+        if site_weights is not None and not self.weighted:
+            raise ValueError(
+                "site_weights passed to an unweighted accumulator; "
+                "construct with weighted=True")
         g = np.asarray(geno_chunk, np.int8)
         if g.ndim != 2 or g.shape[0] != self.n_cap:
             raise ValueError(
@@ -134,11 +150,19 @@ class SiteStreamAccumulator:
             afs_max_n=self.afs_max_n,
         )
 
-    def finalize(self, length: float, threshold: float) -> StreamedWindowStats:
+    def finalize(self, length: float, threshold: float,
+                 pi_member: Optional[np.ndarray] = None
+                 ) -> StreamedWindowStats:
         """Close the stream: identity matrix, grouped π, S, Tajima's D, AFS.
 
         Matches the one-shot pipeline (identity_from_alleles →
         pi_grouped → tajimas_d) bit-for-bit on the same data.
+
+        ``pi_member`` (optional [N] bool) restricts the grouped-π membership
+        (and hence n and Tajima's D) to a sample subset WITHOUT narrowing S
+        or the accumulated counts — the reference's subset contract: S is
+        counted over the whole window graph (run_tajd.sh:148) while the
+        subset list only feeds impg similarity / pica2 (run_tajd.sh:160).
         """
         from impop_tpu.stats.pi import pi_grouped
         from impop_tpu.stats.tajima import tajimas_d
@@ -146,20 +170,24 @@ class SiteStreamAccumulator:
         self._finalized = True
         diff, comp, s_tot, afs = self._state
         member = self._member
+        pim = (member if pi_member is None
+               else jax.device_put(np.asarray(pi_member, bool)) & member)
 
         @jax.jit
-        def _fin(diff, comp, s_tot, member):
+        def _fin(diff, comp, s_tot, member, pim):
+            diff = diff.astype(jnp.float32)
+            comp = comp.astype(jnp.float32)
             present = (comp > 0) & member[:, None] & member[None, :]
             ln = jnp.float32(max(length, 1.0))
             sim = jnp.where(present, 1.0 - diff / ln, 0.0)
             eye = jnp.eye(member.shape[0], dtype=bool)
             sim = jnp.where(eye & member[:, None], 1.0, sim)
             present = present | (eye & member[:, None])
-            res = pi_grouped(sim, present, member, jnp.float32(threshold))
+            res = pi_grouped(sim, present, pim, jnp.float32(threshold))
             pi_site = res.pi / ln
             d = tajimas_d(res.n, s_tot.astype(jnp.float32), pi_site)
             return res.pi, pi_site, d, res.n, sim, present
 
-        pi, pi_site, d, n, sim, present = _fin(diff, comp, s_tot, member)
+        pi, pi_site, d, n, sim, present = _fin(diff, comp, s_tot, member, pim)
         return StreamedWindowStats(pi, pi_site, s_tot, d, n, sim, present,
                                    afs)

@@ -174,6 +174,25 @@ def test_cli_tajd_streamed_matches_batched(fixture_dir, rng):
           "--chunk-sites", "256", "-o", str(out_s)])
     assert _lines(out_b) == _lines(out_s)
 
+    # -s subset: both paths must report S over ALL rows (run_tajd.sh:148
+    # counts segregating sites via povu on the whole window graph; the
+    # subset list only feeds the π branch :160) and π/n over the subset
+    subf = fixture_dir / "sub.list"
+    # panel entries are assembly/sample IDs, canonicalized to '#'-terminated
+    # prefixes (h-fst.py:18-61) — bare stems match both haplotypes
+    subf.write_text("\n".join(f"h{i:02d}" for i in range(6)) + "\n")
+    out_bs = fixture_dir / "tajd_bs.tsv"
+    main(["tajd", "-b", str(fixture_dir / "one.bed"), "-P", "",
+          "--geno-dir", str(genodir), "-s", str(subf), "-o", str(out_bs)])
+    out_ss = fixture_dir / "tajd_ss.tsv"
+    main(["tajd", "-b", str(fixture_dir / "one.bed"), "-P", "",
+          "--stream-npy", str(npy), "--stream-names", str(namesf),
+          "--chunk-sites", "256", "-s", str(subf), "-o", str(out_ss)])
+    assert _lines(out_bs) == _lines(out_ss)
+    fields = _lines(out_bs)[1].split("\t")
+    assert fields[2] == "6"                       # SAMPLES = subset size
+    assert fields[3] == _lines(out_b)[1].split("\t")[3]  # S unchanged
+
 
 def test_cli_skips_missing_window(fixture_dir, capsys):
     (fixture_dir / "two.bed").write_text("chr1\t0\t1000000\nchr9\t0\t100\n")

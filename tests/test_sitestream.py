@@ -81,7 +81,8 @@ def test_streaming_weighted_and_multiallelic():
     d1, c1 = pairwise_diff(jnp.asarray(geno), jnp.asarray(member),
                            jnp.asarray(smask), 3, jnp.asarray(weights))
 
-    acc = SiteStreamAccumulator(member, chunk_s=128, num_alleles=3)
+    acc = SiteStreamAccumulator(member, chunk_s=128, num_alleles=3,
+                                weighted=True)
     for lo in range(0, s, 150):
         acc.update(geno[:, lo:lo + 150], site_weights=weights[lo:lo + 150])
     diff, comp = acc._state[0], acc._state[1]
@@ -89,6 +90,53 @@ def test_streaming_weighted_and_multiallelic():
                                atol=0)
     np.testing.assert_allclose(np.asarray(comp), np.asarray(c1), rtol=0,
                                atol=0)
+
+
+def test_unweighted_counts_are_integer_accumulated():
+    """Unweighted accumulators carry diff/compared in int32 so counts stay
+    exact beyond f32's 2^24 ceiling (ADVICE r2: a whole-chromosome site axis
+    can exceed 16.7M mutually-valid sites per pair)."""
+    member = np.ones(4, bool)
+    acc = SiteStreamAccumulator(member, chunk_s=128)
+    acc.update(np.ones((4, 100), np.int8))
+    assert acc._state[0].dtype == jnp.int32
+    assert acc._state[1].dtype == jnp.int32
+    with pytest.raises(ValueError):
+        acc.update(np.ones((4, 100), np.int8),
+                   site_weights=np.ones(100, np.float32))
+
+
+def test_finalize_pi_member_subset():
+    """finalize(pi_member=...) narrows grouped-π/n/D to the subset while S
+    keeps counting every row — run_tajd.sh semantics (S from the whole
+    window graph :148, subset only feeds pica2 :160)."""
+    rng = np.random.default_rng(3)
+    geno, member, smask = _window(rng, n=20, s=300)
+    length, thr = 5000.0, 0.999
+    sub = np.zeros(20, bool)
+    sub[:10] = True
+
+    acc = SiteStreamAccumulator(member, chunk_s=128)
+    for lo in range(0, 300, 128):
+        acc.update(geno[:, lo:lo + 128])
+    out = acc.finalize(length, thr, pi_member=sub)
+
+    # S over ALL member rows
+    s_full = segregating_sites(jnp.asarray(geno), jnp.asarray(member),
+                               jnp.asarray(smask))
+    np.testing.assert_array_equal(np.asarray(out.s), np.asarray(s_full))
+    # π/n over the subset only
+    sim1, present1 = identity_from_alleles(
+        jnp.asarray(geno), jnp.asarray(member), jnp.asarray(smask), length
+    )
+    res_sub = pi_grouped(sim1, present1, jnp.asarray(sub & member), thr)
+    assert int(np.asarray(out.n)) == int(np.asarray(res_sub.n)) == 10
+    np.testing.assert_allclose(np.asarray(out.pi), np.asarray(res_sub.pi),
+                               rtol=1e-6)
+    d_exp = tajimas_d(res_sub.n, s_full.astype(jnp.float32),
+                      res_sub.pi / length)
+    np.testing.assert_allclose(np.asarray(out.d), np.asarray(d_exp),
+                               rtol=1e-5)
 
 
 def test_update_after_finalize_rejected():
