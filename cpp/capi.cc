@@ -8,7 +8,9 @@
 //   3) ix_result_free releases it.
 #include "extract.h"
 
+#include <atomic>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <string>
 
@@ -120,6 +122,131 @@ const char* ix_site_keys_blob(void* result) {
 
 void ix_result_free(void* result) {
   delete static_cast<IxResult*>(result);
+}
+
+// ---------------------------------------------------------------- batch API
+//
+// One call extracts a whole window batch, parallelised over WINDOWS (each
+// window's per-record walk runs serially): at scan batch sizes the window
+// axis has far more parallelism than the per-window record axis, and one
+// ctypes round trip replaces W of them.  The batch owns its results;
+// ix_batch_free releases everything.
+
+struct IxBatch {
+  std::vector<IxResult*> results;  // null where extraction failed
+  std::vector<std::string> errors;  // per-window message ("" on success)
+};
+
+void* ix_extract_batch(void* handle, const char* target,
+                       const long long* starts, const long long* ends,
+                       long long count, int threads) {
+  auto* h = static_cast<IxHandle*>(handle);
+  if (!h->extractor || count <= 0) return nullptr;
+  auto* batch = new IxBatch;
+  batch->results.assign(static_cast<size_t>(count), nullptr);
+  batch->errors.assign(static_cast<size_t>(count), "");
+
+  // Fast path: a sorted, non-overlapping batch goes through the range
+  // walker (one CIGAR walk per record for the WHOLE batch).
+  bool range_ok = true;
+  for (long long i = 0; i < count && range_ok; ++i) {
+    if (ends[i] <= starts[i]) range_ok = false;
+    if (i > 0 && starts[i] < ends[i - 1]) range_ok = false;
+  }
+  if (range_ok) {
+    try {
+      std::vector<std::pair<int64_t, int64_t>> wins;
+      wins.reserve(static_cast<size_t>(count));
+      for (long long i = 0; i < count; ++i) wins.emplace_back(starts[i], ends[i]);
+      auto mats = h->extractor->extract_windows(target, wins, threads);
+      for (long long i = 0; i < count; ++i) {
+        batch->results[static_cast<size_t>(i)] =
+            new IxResult{std::move(mats[static_cast<size_t>(i)]), {}, {}};
+      }
+      return batch;
+    } catch (const std::exception& e) {
+      // fall through to per-window extraction so one bad window fails alone
+      for (IxResult*& r : batch->results) { delete r; r = nullptr; }
+    }
+  }
+
+  // General path: per-window extraction, parallel over windows.
+  if (threads <= 0) {
+    threads = static_cast<int>(std::max(1u, std::thread::hardware_concurrency()));
+  }
+  threads = static_cast<int>(std::min<long long>(threads, count));
+  std::atomic<long long> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const long long i = next.fetch_add(1);
+      if (i >= count) break;
+      try {
+        auto wm = h->extractor->extract(target, starts[i], ends[i],
+                                        /*inner_threads=*/1);
+        batch->results[static_cast<size_t>(i)] =
+            new IxResult{std::move(wm), {}, {}};
+      } catch (const std::exception& e) {
+        batch->errors[static_cast<size_t>(i)] = e.what();
+      }
+    }
+  };
+  if (threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(static_cast<size_t>(threads));
+    for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return batch;
+}
+
+// Dims for window i; returns 0 on success, -1 if that window failed.
+int ix_batch_dims(void* batch, long long i, long long* n_out,
+                  long long* s_out) {
+  auto* b = static_cast<IxBatch*>(batch);
+  IxResult* r = b->results[static_cast<size_t>(i)];
+  if (!r) return -1;
+  *n_out = r->wm.n;
+  *s_out = r->wm.s;
+  return 0;
+}
+
+const char* ix_batch_error(void* batch, long long i) {
+  auto* b = static_cast<IxBatch*>(batch);
+  return b->errors[static_cast<size_t>(i)].c_str();
+}
+
+// Result handle for the existing per-result accessors (ix_copy_geno,
+// ix_names_blob, ...).  Owned by the batch — do NOT ix_result_free it.
+void* ix_batch_result(void* batch, long long i) {
+  auto* b = static_cast<IxBatch*>(batch);
+  return b->results[static_cast<size_t>(i)];
+}
+
+// Copy window i's matrix into a row of a padded [cap_n, cap_s] int8 buffer
+// pre-filled by the caller (uncovered cells are -1); also sets member/site
+// masks.  Keeps the padding loop out of Python.
+void ix_batch_fill(void* batch, long long i, signed char* geno,
+                   unsigned char* member, unsigned char* smask,
+                   long long cap_n, long long cap_s) {
+  auto* b = static_cast<IxBatch*>(batch);
+  IxResult* r = b->results[static_cast<size_t>(i)];
+  if (!r) return;
+  const auto& wm = r->wm;
+  for (long long row = 0; row < wm.n; ++row) {
+    std::memcpy(geno + row * cap_s,
+                wm.geno.data() + row * std::max<int64_t>(wm.s, 1),
+                static_cast<size_t>(wm.s));
+    member[row] = 1;
+  }
+  std::memset(smask, 1, static_cast<size_t>(wm.s));
+}
+
+void ix_batch_free(void* batch) {
+  auto* b = static_cast<IxBatch*>(batch);
+  for (IxResult* r : b->results) delete r;
+  delete b;
 }
 
 }  // extern "C"

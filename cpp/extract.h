@@ -49,6 +49,29 @@ class FastaReader {
   std::string fetch(const std::string& name, int64_t start, int64_t end) const;
   int64_t length(const std::string& name) const;
 
+  // O(1) zero-copy per-base access bound to one sequence — plain files are
+  // mmap'd at open, whole-file-inflated gzip serves from memory.  BGZF has
+  // no O(1) path (invalid view; callers fall back to fetch()).  This is what
+  // lets the range walker touch only the query bytes at variant sites
+  // instead of materialising every window's query slice.
+  class BaseView {
+   public:
+    bool valid() const { return data_ != nullptr; }
+    // Raw byte (no case normalisation); 'N' outside [0, length).
+    char at(int64_t pos) const {
+      if (pos < 0 || pos >= len_) return 'N';
+      return data_[pos / line_bases_ * line_bytes_ + pos % line_bases_];
+    }
+
+   private:
+    friend class FastaReader;
+    const char* data_ = nullptr;  // first base of the sequence
+    int64_t len_ = 0;
+    int64_t line_bases_ = 1;
+    int64_t line_bytes_ = 1;
+  };
+  BaseView base_view(const std::string& name) const;
+
  private:
   enum class Kind { kPlain, kBgzf, kGzMem };
   struct Entry {
@@ -65,6 +88,8 @@ class FastaReader {
   std::unordered_map<std::string, Entry> index_;
   int fd_ = -1;  // pread-based access: thread-safe, no seek state
   Kind kind_ = Kind::kPlain;
+  const char* map_ = nullptr;  // mmap of the whole file (kPlain only)
+  int64_t map_size_ = 0;
   std::vector<Block> blocks_;  // BGZF block index, uoffset-sorted
   int64_t total_usize_ = 0;    // total uncompressed bytes (BGZF)
   std::string mem_;            // whole inflated file (plain gzip only)
@@ -149,8 +174,23 @@ class Extractor {
   Extractor(const std::string& paf_path, const std::string& fasta_path);
   // Extract window [start, end) on reference sequence `target`.
   // `target` must be the PAF target name (e.g. "CHM13#0#chr1").
+  // inner_threads: per-record walk fan-out; 0 = auto (env/hardware), 1 =
+  // serial (used by extract_batch, which parallelises over windows instead).
   WindowMatrix extract(const std::string& target, int64_t start,
-                       int64_t end) const;
+                       int64_t end, int inner_threads = 0) const;
+
+  // Range extraction: windows must be sorted by start and non-overlapping.
+  // Walks each PAF record ONCE over [wins.front().start, wins.back().end)
+  // and bins calls into windows — per-window results are bit-identical to
+  // per-window extract() (deletions are clipped at window bounds, insertion
+  // and coverage boundary rules match; extract() itself delegates here).
+  // The reference re-runs its native pipeline per window
+  // (run_pica2_impg.sh:126-192); one walk per record per SCAN RANGE is the
+  // engine's host-side analogue of batching windows onto the device.
+  std::vector<WindowMatrix> extract_windows(
+      const std::string& target,
+      const std::vector<std::pair<int64_t, int64_t>>& wins,
+      int threads = 0) const;
 
  private:
   PafIndex paf_;

@@ -1,17 +1,28 @@
-// Window projection: CIGAR walk -> variant calls -> allele matrix.
+// Window projection: CIGAR walk -> variant calls -> allele matrices.
 //
 // The capability equivalent of the reference's per-window native pipeline
 // (impg query -> odgi build/sort/view -> povu gfa2vcf, run_tajd.sh:126-148,
 // and impg similarity, run_pica2_impg.sh:162-168): a window's variation is
-// derived once, directly from the PAF alignments, as per-haplotype variant
-// calls against the reference; the haplotype-by-site matrix then feeds every
-// TPU statistic (identity, pi, S, AFS) without further native calls.
+// derived directly from the PAF alignments as per-haplotype variant calls
+// against the reference; the haplotype-by-site matrix then feeds every TPU
+// statistic (identity, pi, S, AFS) without further native calls.
+//
+// Design: extraction is RANGE-based.  extract_windows() walks each PAF
+// record ONCE over the union span of a sorted window batch and bins calls
+// into windows as it goes (deletions clipped at window bounds, insertion /
+// coverage boundary rules below) — the reference re-runs its native
+// pipeline per window (run_pica2_impg.sh:126-192), which re-walks every
+// whole-chromosome alignment O(windows) times.  Query bases are touched
+// only at variant sites via an mmap'd O(1) view when the store allows it
+// (plain/gzip FASTA); BGZF falls back to one materialised slice per record
+// per range.  extract() is the one-window special case.
 #include "extract.h"
 
 #include <algorithm>
-#include <cstring>
-#include <map>
+#include <atomic>
+#include <cctype>
 #include <cstdlib>
+#include <cstring>
 #include <stdexcept>
 #include <thread>
 
@@ -53,282 +64,379 @@ struct Variant {
   }
 };
 
-// The walk emits variants in non-decreasing target order, so a vector +
-// one sort/unique pass (needed only when a row has several PAF records)
-// replaces the former std::set — red-black node churn dominated extraction
-// profiles at genome scale.
-struct HapState {
-  int64_t cover_start = INT64_MAX;
-  int64_t cover_end = INT64_MIN;
-  std::vector<Variant> variants;
+// One record's window-binned calls over a scan range.
+struct RecWalk {
+  const PafRecord* rec = nullptr;
+  std::string row_name;
+  int64_t t_final = 0;            // final target pos reached by the walk
+  std::vector<Variant> variants;  // window-clipped; (win, variant)-sorted
+  std::vector<int32_t> win_of;    // parallel to variants, non-decreasing
+  // variant index range per window: (win, begin); end = next begin
+  std::vector<std::pair<int32_t, int32_t>> spans;
+
+  std::pair<int32_t, int32_t> range_in(int32_t w) const {
+    // spans is sorted by win; binary search
+    size_t lo = 0, hi = spans.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (spans[mid].first < w) lo = mid + 1; else hi = mid;
+    }
+    if (lo == spans.size() || spans[lo].first != w) return {0, 0};
+    const int32_t begin = spans[lo].second;
+    const int32_t end = lo + 1 < spans.size()
+                            ? spans[lo + 1].second
+                            : static_cast<int32_t>(variants.size());
+    return {begin, end};
+  }
 };
 
-}  // namespace
+// Walk one record over [lo, hi), binning calls into the sorted,
+// non-overlapping windows (wstart[i], wend[i]).
+//
+// Per-window semantics (must match the one-window case exactly; pinned by
+// tests against the Python oracle extractor):
+//  - base-anchored variants (M/X resolution, deletions) belong to the
+//    window with wstart <= pos < wend; deletions crossing a window bound
+//    are clipped per window (key pos = clip start, ref = clipped bases);
+//  - insertions sit BETWEEN bases: window with wstart < pos <= wend;
+//  - coverage is the record's walked target span clipped per window.
+void walk_range(const PafRecord* rec, const FastaReader& fasta,
+                const std::string& tseq, int64_t lo, int64_t hi,
+                const std::vector<int64_t>& wstart,
+                const std::vector<int64_t>& wend, RecWalk* out) {
+  out->rec = rec;
+  out->row_name = rec->query_name + ":" + std::to_string(rec->query_start) +
+                  "-" + std::to_string(rec->query_end);
 
-Extractor::Extractor(const std::string& paf_path, const std::string& fasta_path)
-    : paf_(paf_path), fasta_(fasta_path) {}
-
-WindowMatrix Extractor::extract(const std::string& target, int64_t start,
-                                int64_t end) const {
-  if (end <= start) {
-    throw std::runtime_error("empty window");
-  }
-  const std::string tseq =
-      fasta_.has(target) ? fasta_.fetch(target, start, end) : std::string();
   auto target_base = [&](int64_t pos) -> char {
-    int64_t off = pos - start;
+    const int64_t off = pos - lo;
     if (off < 0 || off >= static_cast<int64_t>(tseq.size())) return 'N';
     return static_cast<char>(std::toupper(tseq[static_cast<size_t>(off)]));
   };
 
-  std::map<std::string, HapState> haps;
+  int64_t tpos = rec->target_start;
+  int64_t qi = 0;
+  const size_t first_op = rec->seek(lo, &tpos, &qi);
 
-  const std::vector<const PafRecord*> recs =
-      paf_.overlapping(target, start, end);
-
-  // Per-record walks are independent until the site-union merge, so they
-  // fan out over a thread shard each (FASTA access is pread-based and
-  // thread-safe); shards merge by row name afterwards, making the result
-  // independent of the thread count.
-  auto walk_record = [&](const PafRecord* rec,
-                         std::map<std::string, HapState>& shard) {
-    if (rec->cigar.empty()) return;  // need cg:Z for projection
-
-    // Row identity mirrors impg's "contig:qstart-qend" naming
-    // (h-fst.py:24-26 shows the consumed form).
-    std::string row_name = rec->query_name + ":" +
-                           std::to_string(rec->query_start) + "-" +
-                           std::to_string(rec->query_end);
-    HapState& hap = shard[row_name];
-
-    int64_t tpos = rec->target_start;
-    int64_t qi = 0;
-    hap.cover_start =
-        std::min(hap.cover_start, std::max(start, rec->target_start));
-
-    size_t first_op = rec->seek(start, &tpos, &qi);
-
-    // Pass 1 (no sequence): find the query extent [q_lo, q_hi) this
-    // window's walk touches, so only that slice is fetched — fetching the
-    // whole contig per window is O(contig) per record per window.
-    int64_t q_lo = qi;
-    int64_t q_hi = qi;
-    {
-      int64_t t2 = tpos, q2 = qi;
-      for (size_t oi = first_op; oi < rec->cigar.size(); ++oi) {
-        const CigarOp& op = rec->cigar[oi];
-        if (t2 >= end && op.op != 'I') break;
-        switch (op.op) {
-          case '=': case 'M': case 'X': t2 += op.len; q2 += op.len; break;
-          case 'I': case 'S': q2 += op.len; break;
-          case 'D': case 'N': t2 += op.len; break;
-          case 'H': break;
-          default: t2 += op.len; q2 += op.len; break;
-        }
+  // Query access: O(1) view when the store supports it; otherwise one
+  // materialised slice covering the range's query extent (the extent's end
+  // comes from a checkpoint seek to `hi` plus a short tail walk).
+  const bool have_q = fasta.has(rec->query_name);
+  const FastaReader::BaseView view =
+      have_q ? fasta.base_view(rec->query_name) : FastaReader::BaseView();
+  std::string qslice;
+  const int64_t q_lo = qi;
+  if (have_q && !view.valid()) {
+    int64_t t2 = tpos, q2 = qi;
+    size_t oi = rec->seek(hi, &t2, &q2);
+    for (; oi < rec->cigar.size(); ++oi) {
+      const CigarOp& op = rec->cigar[oi];
+      if (t2 >= hi && op.op != 'I') break;
+      switch (op.op) {
+        case '=': case 'M': case 'X': t2 += op.len; q2 += op.len; break;
+        case 'I': case 'S': q2 += op.len; break;
+        case 'D': case 'N': t2 += op.len; break;
+        case 'H': break;
+        default: t2 += op.len; q2 += op.len; break;
       }
-      q_hi = q2;
     }
-
-    // Query slice in alignment orientation (walked forward alongside the
-    // target). Missing query sequences degrade M ops to "no variant" and
-    // X alts to 'N'.
-    std::string qslice;
-    bool have_q = fasta_.has(rec->query_name);
-    if (have_q && q_hi > q_lo) {
+    const int64_t q_hi = q2;
+    if (q_hi > q_lo) {
       if (!rec->reverse) {
-        qslice = fasta_.fetch(rec->query_name, rec->query_start + q_lo,
-                              rec->query_start + q_hi);
+        qslice = fasta.fetch(rec->query_name, rec->query_start + q_lo,
+                             rec->query_start + q_hi);
       } else {
         // qi indexes the reverse complement of [query_start, query_end);
         // RC index qi maps to original position query_end - 1 - qi
-        qslice = revcomp(fasta_.fetch(rec->query_name,
-                                      rec->query_end - q_hi,
-                                      rec->query_end - q_lo));
+        qslice = revcomp(fasta.fetch(rec->query_name, rec->query_end - q_hi,
+                                     rec->query_end - q_lo));
       }
     }
-    auto query_base = [&](int64_t q) -> char {
-      int64_t off = q - q_lo;
-      if (!have_q || off < 0 || off >= static_cast<int64_t>(qslice.size()))
-        return 'N';
-      return static_cast<char>(
-          std::toupper(qslice[static_cast<size_t>(off)]));
-    };
-    for (size_t oi = first_op; oi < rec->cigar.size(); ++oi) {
-      const CigarOp& op = rec->cigar[oi];
-      if (tpos >= end && op.op != 'I') break;
-      switch (op.op) {
-        case '=':
-          tpos += op.len;
-          qi += op.len;
-          break;
-        case 'M': {
-          // resolve match-or-mismatch against the sequences
-          for (int64_t k = 0; k < op.len; ++k) {
-            int64_t p = tpos + k;
-            if (p >= start && p < end && have_q) {
-              char tb = target_base(p);
-              char qb = query_base(qi + k);
+  }
+  auto query_base = [&](int64_t q) -> char {
+    if (!have_q) return 'N';
+    if (view.valid()) {
+      if (!rec->reverse) {
+        return static_cast<char>(
+            std::toupper(view.at(rec->query_start + q)));
+      }
+      return comp(static_cast<char>(
+          std::toupper(view.at(rec->query_end - 1 - q))));
+    }
+    const int64_t off = q - q_lo;
+    if (off < 0 || off >= static_cast<int64_t>(qslice.size())) return 'N';
+    return static_cast<char>(
+        std::toupper(qslice[static_cast<size_t>(off)]));
+  };
+
+  // Window cursors: walk positions are non-decreasing, so each advances
+  // monotonically.  Separate cursors because the insertion rule (wend >=
+  // pos) lags the base rule (wend > pos) by one window at shared bounds.
+  const size_t n_win = wstart.size();
+  size_t cb = 0;
+  auto win_at_base = [&](int64_t p) -> int32_t {
+    while (cb < n_win && wend[cb] <= p) ++cb;
+    if (cb < n_win && wstart[cb] <= p) return static_cast<int32_t>(cb);
+    return -1;
+  };
+  size_t ci = 0;
+  auto win_at_ins = [&](int64_t p) -> int32_t {
+    while (ci < n_win && wend[ci] < p) ++ci;
+    if (ci < n_win && wstart[ci] < p) return static_cast<int32_t>(ci);
+    return -1;
+  };
+  auto emit = [&](int32_t w, Variant v) {
+    out->win_of.push_back(w);
+    out->variants.push_back(std::move(v));
+  };
+
+  for (size_t oi = first_op; oi < rec->cigar.size(); ++oi) {
+    const CigarOp& op = rec->cigar[oi];
+    if (tpos >= hi && op.op != 'I') break;
+    switch (op.op) {
+      case '=':
+        tpos += op.len;
+        qi += op.len;
+        break;
+      case 'M': {
+        // resolve match-or-mismatch against the sequences; missing query
+        // degrades M to "no variant"
+        for (int64_t k = 0; k < op.len; ++k) {
+          const int64_t p = tpos + k;
+          if (p >= lo && p < hi && have_q) {
+            const int32_t w = win_at_base(p);
+            if (w >= 0) {
+              const char tb = target_base(p);
+              const char qb = query_base(qi + k);
               if (tb != qb && tb != 'N' && qb != 'N') {
-                hap.variants.push_back({p, std::string(1, tb),
-                                        std::string(1, qb)});
+                emit(w, {p, std::string(1, tb), std::string(1, qb)});
               }
             }
           }
-          tpos += op.len;
-          qi += op.len;
-          break;
         }
-        case 'X': {
-          for (int64_t k = 0; k < op.len; ++k) {
-            int64_t p = tpos + k;
-            if (p >= start && p < end) {
-              char tb = target_base(p);
-              char qb = query_base(qi + k);
-              hap.variants.push_back({p, std::string(1, tb),
-                                      std::string(1, qb)});
+        tpos += op.len;
+        qi += op.len;
+        break;
+      }
+      case 'X': {
+        for (int64_t k = 0; k < op.len; ++k) {
+          const int64_t p = tpos + k;
+          if (p >= lo && p < hi) {
+            const int32_t w = win_at_base(p);
+            if (w >= 0) {
+              emit(w, {p, std::string(1, target_base(p)),
+                       std::string(1, query_base(qi + k))});
             }
           }
-          tpos += op.len;
-          qi += op.len;
-          break;
         }
-        case 'I': {
-          if (tpos > start && tpos <= end) {
-            std::string alt;
-            int64_t off = qi - q_lo;
-            if (have_q && off >= 0 &&
+        tpos += op.len;
+        qi += op.len;
+        break;
+      }
+      case 'I': {
+        const int32_t w = win_at_ins(tpos);
+        if (w >= 0 && tpos <= hi) {
+          std::string alt;
+          if (have_q && view.valid()) {
+            alt.reserve(static_cast<size_t>(op.len));
+            for (int64_t k = 0; k < op.len; ++k) {
+              alt.push_back(query_base(qi + k));
+            }
+          } else if (have_q) {
+            const int64_t off = qi - q_lo;
+            if (off >= 0 &&
                 off + op.len <= static_cast<int64_t>(qslice.size())) {
               alt = qslice.substr(static_cast<size_t>(off),
                                   static_cast<size_t>(op.len));
-              for (char& c : alt) c = std::toupper(c);
+              for (char& c : alt) c = static_cast<char>(std::toupper(c));
             } else {
               alt = "<INS" + std::to_string(op.len) + ">";
             }
-            hap.variants.push_back({tpos, "", alt});
+          } else {
+            alt = "<INS" + std::to_string(op.len) + ">";
           }
-          qi += op.len;
-          break;
+          emit(w, {tpos, "", std::move(alt)});
         }
-        case 'D':
-        case 'N': {
-          int64_t del_start = std::max(tpos, start);
-          int64_t del_end = std::min(tpos + op.len, end);
-          if (op.op == 'D' && del_start < del_end) {
-            std::string ref;
-            for (int64_t p = del_start; p < del_end; ++p)
-              ref += target_base(p);
-            hap.variants.push_back({del_start, ref, ""});
+        qi += op.len;
+        break;
+      }
+      case 'D':
+      case 'N': {
+        if (op.op == 'D') {
+          const int64_t dlo = std::max(tpos, lo);
+          const int64_t dhi = std::min(tpos + op.len, hi);
+          size_t cw = cb;  // local scan; cb windows are already past dlo
+          while (cw < n_win && wend[cw] <= dlo) ++cw;
+          for (; cw < n_win && wstart[cw] < dhi; ++cw) {
+            const int64_t ds = std::max(dlo, wstart[cw]);
+            const int64_t de = std::min(dhi, wend[cw]);
+            if (ds < de) {
+              std::string ref;
+              ref.reserve(static_cast<size_t>(de - ds));
+              for (int64_t p = ds; p < de; ++p) ref += target_base(p);
+              emit(static_cast<int32_t>(cw), {ds, std::move(ref), ""});
+            }
           }
-          tpos += op.len;
-          break;
         }
-        case 'S':
-          qi += op.len;
-          break;
-        case 'H':
-          break;
-        default:
-          // unknown op: assume it consumes both (safest for M-like ops)
-          tpos += op.len;
-          qi += op.len;
-          break;
+        tpos += op.len;
+        break;
       }
-    }
-    hap.cover_end = std::max(hap.cover_end, std::min(end, tpos));
-  };
-
-  int n_threads = 1;
-  if (const char* env = std::getenv("IMPOP_EXTRACT_THREADS")) {
-    n_threads = std::max(1, std::atoi(env));
-  } else {
-    n_threads = std::max(1u, std::thread::hardware_concurrency());
-  }
-  n_threads = static_cast<int>(
-      std::min<size_t>(static_cast<size_t>(n_threads),
-                       std::max<size_t>(recs.size() / 4, 1)));
-  if (n_threads <= 1) {
-    for (const PafRecord* rec : recs) walk_record(rec, haps);
-  } else {
-    std::vector<std::map<std::string, HapState>> shards(
-        static_cast<size_t>(n_threads));
-    std::vector<std::thread> pool;
-    for (int t = 0; t < n_threads; ++t) {
-      pool.emplace_back([&, t]() {
-        for (size_t i = static_cast<size_t>(t); i < recs.size();
-             i += static_cast<size_t>(n_threads)) {
-          walk_record(recs[i], shards[static_cast<size_t>(t)]);
-        }
-      });
-    }
-    for (auto& th : pool) th.join();
-    for (auto& shard : shards) {
-      for (auto& [name, hs] : shard) {
-        auto [it, fresh] = haps.try_emplace(name, std::move(hs));
-        if (!fresh) {
-          HapState& dst = it->second;
-          dst.cover_start = std::min(dst.cover_start, hs.cover_start);
-          dst.cover_end = std::max(dst.cover_end, hs.cover_end);
-          dst.variants.insert(dst.variants.end(), hs.variants.begin(),
-                              hs.variants.end());
-        }
-      }
+      case 'S':
+        qi += op.len;
+        break;
+      case 'H':
+        break;
+      default:
+        // unknown op: assume it consumes both (safest for M-like ops)
+        tpos += op.len;
+        qi += op.len;
+        break;
     }
   }
+  out->t_final = tpos;
 
+  // Emission is (win, variant)-sorted by construction for well-formed
+  // CIGARs; guard with an index sort + dedup if an exotic one violates it.
+  bool sorted = true;
+  for (size_t i = 1; i < out->variants.size(); ++i) {
+    if (out->win_of[i - 1] > out->win_of[i] ||
+        (out->win_of[i - 1] == out->win_of[i] &&
+         out->variants[i] < out->variants[i - 1])) {
+      sorted = false;
+      break;
+    }
+  }
+  if (!sorted) {
+    std::vector<size_t> order(out->variants.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+      if (out->win_of[a] != out->win_of[b])
+        return out->win_of[a] < out->win_of[b];
+      return out->variants[a] < out->variants[b];
+    });
+    std::vector<Variant> v2;
+    std::vector<int32_t> w2;
+    v2.reserve(order.size());
+    w2.reserve(order.size());
+    for (size_t i : order) {
+      v2.push_back(std::move(out->variants[i]));
+      w2.push_back(out->win_of[i]);
+    }
+    out->variants = std::move(v2);
+    out->win_of = std::move(w2);
+  }
+  // dedup adjacent duplicates (same window, same variant)
+  size_t keep = 0;
+  for (size_t i = 0; i < out->variants.size(); ++i) {
+    if (keep > 0 && out->win_of[keep - 1] == out->win_of[i] &&
+        out->variants[keep - 1] == out->variants[i]) {
+      continue;
+    }
+    if (keep != i) {
+      out->variants[keep] = std::move(out->variants[i]);
+      out->win_of[keep] = out->win_of[i];
+    }
+    ++keep;
+  }
+  out->variants.resize(keep);
+  out->win_of.resize(keep);
+
+  // per-window index spans
+  for (size_t i = 0; i < out->win_of.size(); ++i) {
+    if (out->spans.empty() || out->spans.back().first != out->win_of[i]) {
+      out->spans.emplace_back(out->win_of[i], static_cast<int32_t>(i));
+    }
+  }
+}
+
+// A row of one window's matrix before filling: name + clipped coverage +
+// the contributing records' variant ranges (>1 when same-named records are
+// merged, matching the one-window map-by-name semantics).
+struct RowItem {
+  const std::string* name;
+  int64_t cs, ce;  // covered target span within the window (cs > ce: none)
+  // (walk, begin, end) variant ranges
+  std::vector<std::tuple<const RecWalk*, int32_t, int32_t>> parts;
+};
+
+WindowMatrix build_window(const std::vector<const RecWalk*>& by_name,
+                          const std::string& target, int64_t ws, int64_t we,
+                          int32_t w) {
+  // rows: records whose PAF target span overlaps the window (the
+  // PafIndex::overlapping predicate), merged by row name
+  std::vector<RowItem> rows;
+  rows.reserve(by_name.size() + 1);
+  for (const RecWalk* rw : by_name) {
+    if (rw->rec->target_start >= we || rw->rec->target_end <= ws) continue;
+    const int64_t cs = std::max(ws, rw->rec->target_start);
+    const int64_t ce = std::min(we, rw->t_final);
+    const auto [vb, vend] = rw->range_in(w);
+    if (!rows.empty() && *rows.back().name == rw->row_name) {
+      RowItem& r = rows.back();  // same-name merge: span union
+      r.cs = std::min(r.cs, cs);
+      r.ce = std::max(r.ce, ce);
+      if (vend > vb) r.parts.emplace_back(rw, vb, vend);
+    } else {
+      rows.push_back({&rw->row_name, cs, ce, {}});
+      if (vend > vb) rows.back().parts.emplace_back(rw, vb, vend);
+    }
+  }
   // Reference row: covers the whole window, no variants (impg similarity
   // includes the reference sequence among the groups).
+  const std::string ref_name =
+      target + ":" + std::to_string(ws) + "-" + std::to_string(we);
   {
-    HapState& ref_row = haps[target + ":" + std::to_string(start) + "-" +
-                             std::to_string(end)];
-    ref_row.cover_start = start;
-    ref_row.cover_end = end;
+    auto it = std::lower_bound(
+        rows.begin(), rows.end(), ref_name,
+        [](const RowItem& r, const std::string& n) { return *r.name < n; });
+    rows.insert(it, RowItem{&ref_name, ws, we, {}});
   }
 
-  // Per-hap variants arrive in walk order; sort+unique covers rows built
-  // from several PAF records.
-  for (auto& [_, hap] : haps) {
-    if (!std::is_sorted(hap.variants.begin(), hap.variants.end()))
-      std::sort(hap.variants.begin(), hap.variants.end());
-    hap.variants.erase(
-        std::unique(hap.variants.begin(), hap.variants.end()),
-        hap.variants.end());
-  }
-
-  // Union of variant keys -> site axis: one flat sort/unique instead of the
-  // former std::set merge + std::map column lookup (string-keyed tree nodes
-  // dominated at ~1e6 sites).
-  std::vector<Variant> all_variants;
-  {
-    size_t total = 0;
-    for (const auto& [_, hap] : haps) total += hap.variants.size();
-    all_variants.reserve(total);
-    for (const auto& [_, hap] : haps) {
-      all_variants.insert(all_variants.end(), hap.variants.begin(),
-                          hap.variants.end());
+  // Site axis: union of the rows' variants.  Each record's window slice is
+  // already sorted+unique, and the union stays small (shared variation), so
+  // two-pointer merges beat sorting the duplicate-heavy concatenation (the
+  // sort's comparator degenerated to string compares between equal keys and
+  // dominated batch-extraction profiles).
+  std::vector<const Variant*> site_union, merged;
+  for (const RowItem& r : rows) {
+    for (const auto& [rw, vb, vend] : r.parts) {
+      const Variant* base = rw->variants.data();
+      const Variant* s_it = base + vb;
+      const Variant* s_end = base + vend;
+      merged.clear();
+      merged.reserve(site_union.size() + static_cast<size_t>(vend - vb));
+      auto u_it = site_union.begin();
+      while (u_it != site_union.end() && s_it != s_end) {
+        if (**u_it < *s_it) {
+          merged.push_back(*u_it++);
+        } else if (*s_it < **u_it) {
+          merged.push_back(s_it++);
+        } else {
+          merged.push_back(*u_it++);
+          ++s_it;
+        }
+      }
+      merged.insert(merged.end(), u_it, site_union.end());
+      for (; s_it != s_end; ++s_it) merged.push_back(s_it);
+      site_union.swap(merged);
     }
-    std::sort(all_variants.begin(), all_variants.end());
-    all_variants.erase(
-        std::unique(all_variants.begin(), all_variants.end()),
-        all_variants.end());
   }
 
   WindowMatrix wm;
-  wm.site_keys.reserve(all_variants.size());
-  wm.site_pos.reserve(all_variants.size());
-  for (const Variant& v : all_variants) {
-    wm.site_keys.push_back(std::to_string(v.pos) + ":" + v.ref + ">" + v.alt);
-    wm.site_pos.push_back(v.pos);
+  wm.n = static_cast<int64_t>(rows.size());
+  wm.s = static_cast<int64_t>(site_union.size());
+  wm.names.reserve(rows.size());
+  wm.site_keys.reserve(site_union.size());
+  wm.site_pos.reserve(site_union.size());
+  for (const Variant* v : site_union) {
+    wm.site_keys.push_back(std::to_string(v->pos) + ":" + v->ref + ">" +
+                           v->alt);
+    wm.site_pos.push_back(v->pos);
   }
-  wm.s = static_cast<int64_t>(wm.site_keys.size());
-  wm.n = static_cast<int64_t>(haps.size());
-  wm.geno.assign(static_cast<size_t>(wm.n * std::max<int64_t>(wm.s, 1)), -1);
+  wm.geno.assign(
+      static_cast<size_t>(wm.n) * static_cast<size_t>(std::max<int64_t>(wm.s, 1)),
+      -1);
 
-  // Column coverage: insertion columns (empty ref) sit *between* bases, so
-  // a haplotype covers them iff cover_start < pos <= cover_end; base-anchored
-  // variants use cover_start <= pos < cover_end.  Both rules agree on the
-  // open interval (cover_start, cover_end), so coverage is one contiguous
-  // fill plus the two boundary positions — the former per-cell loop was
-  // O(n*s) (~5e8 cells at genome scale).
   const int64_t s_count = wm.s;
   auto pos_lower = [&](int64_t pos) {
     return std::lower_bound(wm.site_pos.begin(), wm.site_pos.end(), pos) -
@@ -340,36 +448,141 @@ WindowMatrix Extractor::extract(const std::string& target, int64_t start,
   };
 
   int64_t row = 0;
-  for (const auto& [name, hap] : haps) {  // std::map: sorted row names
-    wm.names.push_back(name);
-    int8_t* g = wm.geno.data() + static_cast<size_t>(row) *
-                                     static_cast<size_t>(std::max<int64_t>(s_count, 1));
-    if (hap.cover_start <= hap.cover_end && s_count > 0) {
-      // interior: cover_start < pos < cover_end — covered under both rules
-      int64_t lo = pos_upper(hap.cover_start);
-      int64_t hi = pos_lower(hap.cover_end);
-      if (hi > lo) std::memset(g + lo, 0, static_cast<size_t>(hi - lo));
-      // boundary pos == cover_start: base-anchored columns only
-      for (int64_t c = pos_lower(hap.cover_start);
-           c < s_count && wm.site_pos[static_cast<size_t>(c)] == hap.cover_start;
-           ++c) {
-        if (!all_variants[static_cast<size_t>(c)].ref.empty()) g[c] = 0;
+  for (const RowItem& r : rows) {
+    wm.names.push_back(*r.name);
+    int8_t* g = wm.geno.data() +
+                static_cast<size_t>(row) *
+                    static_cast<size_t>(std::max<int64_t>(s_count, 1));
+    // Column coverage: insertion columns (empty ref) sit *between* bases,
+    // so a haplotype covers them iff cs < pos <= ce; base-anchored variants
+    // use cs <= pos < ce.  Both rules agree on the open interval (cs, ce),
+    // so coverage is one contiguous fill plus the two boundary positions.
+    if (r.cs <= r.ce && s_count > 0) {
+      const int64_t lo_c = pos_upper(r.cs);
+      const int64_t hi_c = pos_lower(r.ce);
+      if (hi_c > lo_c) std::memset(g + lo_c, 0, static_cast<size_t>(hi_c - lo_c));
+      for (int64_t c = pos_lower(r.cs);
+           c < s_count && wm.site_pos[static_cast<size_t>(c)] == r.cs; ++c) {
+        if (!site_union[static_cast<size_t>(c)]->ref.empty()) g[c] = 0;
       }
-      // boundary pos == cover_end: insertion columns only
-      for (int64_t c = pos_lower(hap.cover_end);
-           c < s_count && wm.site_pos[static_cast<size_t>(c)] == hap.cover_end;
-           ++c) {
-        if (all_variants[static_cast<size_t>(c)].ref.empty()) g[c] = 0;
+      for (int64_t c = pos_lower(r.ce);
+           c < s_count && wm.site_pos[static_cast<size_t>(c)] == r.ce; ++c) {
+        if (site_union[static_cast<size_t>(c)]->ref.empty()) g[c] = 0;
       }
     }
     // variant cells: binary search into the sorted union
-    for (const Variant& v : hap.variants) {
-      auto it = std::lower_bound(all_variants.begin(), all_variants.end(), v);
-      g[it - all_variants.begin()] = 1;
+    for (const auto& [rw, vb, vend] : r.parts) {
+      for (int32_t i = vb; i < vend; ++i) {
+        const Variant& v = rw->variants[static_cast<size_t>(i)];
+        auto it = std::lower_bound(
+            site_union.begin(), site_union.end(), &v,
+            [](const Variant* a, const Variant* b) { return *a < *b; });
+        g[it - site_union.begin()] = 1;
+      }
     }
     ++row;
   }
   return wm;
+}
+
+int resolve_threads(int threads) {
+  if (threads > 0) return threads;
+  if (const char* env = std::getenv("IMPOP_EXTRACT_THREADS")) {
+    return std::max(1, std::atoi(env));
+  }
+  return static_cast<int>(std::max(1u, std::thread::hardware_concurrency()));
+}
+
+// Run fn(i) for i in [0, count) on up to `threads` workers.
+template <typename Fn>
+void parallel_for(int threads, size_t count, Fn fn) {
+  threads = static_cast<int>(
+      std::min<size_t>(static_cast<size_t>(std::max(threads, 1)), count));
+  if (threads <= 1) {
+    for (size_t i = 0; i < count; ++i) fn(i);
+    return;
+  }
+  std::atomic<size_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const size_t i = next.fetch_add(1);
+      if (i >= count) break;
+      fn(i);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(static_cast<size_t>(threads));
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+Extractor::Extractor(const std::string& paf_path, const std::string& fasta_path)
+    : paf_(paf_path), fasta_(fasta_path) {}
+
+std::vector<WindowMatrix> Extractor::extract_windows(
+    const std::string& target,
+    const std::vector<std::pair<int64_t, int64_t>>& wins, int threads) const {
+  if (wins.empty()) return {};
+  for (size_t i = 0; i < wins.size(); ++i) {
+    if (wins[i].second <= wins[i].first) {
+      throw std::runtime_error("empty window");
+    }
+    if (i > 0 && wins[i].first < wins[i - 1].second) {
+      throw std::runtime_error(
+          "extract_windows requires sorted, non-overlapping windows");
+    }
+  }
+  const int64_t lo = wins.front().first;
+  const int64_t hi = wins.back().second;
+  const int n_threads = resolve_threads(threads);
+
+  const std::string tseq =
+      fasta_.has(target) ? fasta_.fetch(target, lo, hi) : std::string();
+
+  std::vector<const PafRecord*> recs = paf_.overlapping(target, lo, hi);
+  recs.erase(std::remove_if(recs.begin(), recs.end(),
+                            [](const PafRecord* r) {
+                              return r->cigar.empty();  // need cg:Z
+                            }),
+             recs.end());
+
+  std::vector<int64_t> wstart(wins.size()), wend(wins.size());
+  for (size_t i = 0; i < wins.size(); ++i) {
+    wstart[i] = wins[i].first;
+    wend[i] = wins[i].second;
+  }
+
+  // Stage 1: one walk per record (parallel over records).
+  std::vector<RecWalk> walks(recs.size());
+  parallel_for(n_threads, recs.size(), [&](size_t i) {
+    walk_range(recs[i], fasta_, tseq, lo, hi, wstart, wend, &walks[i]);
+  });
+
+  // Row order = sorted row names (the one-window case used a name-keyed
+  // map); stable so same-named records merge deterministically.
+  std::vector<const RecWalk*> by_name;
+  by_name.reserve(walks.size());
+  for (const RecWalk& rw : walks) by_name.push_back(&rw);
+  std::stable_sort(by_name.begin(), by_name.end(),
+                   [](const RecWalk* a, const RecWalk* b) {
+                     return a->row_name < b->row_name;
+                   });
+
+  // Stage 2: per-window matrix builds (parallel over windows).
+  std::vector<WindowMatrix> out(wins.size());
+  parallel_for(n_threads, wins.size(), [&](size_t w) {
+    out[w] = build_window(by_name, target, wstart[w], wend[w],
+                          static_cast<int32_t>(w));
+  });
+  return out;
+}
+
+WindowMatrix Extractor::extract(const std::string& target, int64_t start,
+                                int64_t end, int inner_threads) const {
+  auto v = extract_windows(target, {{start, end}}, inner_threads);
+  return std::move(v.front());
 }
 
 }  // namespace impop
