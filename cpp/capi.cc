@@ -9,6 +9,7 @@
 #include "extract.h"
 
 #include <atomic>
+#include <algorithm>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -224,16 +225,20 @@ void* ix_batch_result(void* batch, long long i) {
   return b->results[static_cast<size_t>(i)];
 }
 
-// Copy window i's matrix into a row of a padded [cap_n, cap_s] int8 buffer
-// pre-filled by the caller (uncovered cells are -1); also sets member/site
-// masks.  Keeps the padding loop out of Python.
+// Copy window i's matrix into a padded [cap_n, cap_s] int8 tile pre-filled
+// by the caller (uncovered cells are -1); also sets member/site masks and,
+// when `wts` is non-null, the per-column identity weights (columns-mode: a
+// SNP weighs 1 alignment column, an indel of k bases weighs k — the C++
+// side of impop_tpu.extract.site_weights_from_keys, kept bit-identical).
+// Keeps the padding + key-parsing loops out of Python.
 void ix_batch_fill(void* batch, long long i, signed char* geno,
-                   unsigned char* member, unsigned char* smask,
+                   unsigned char* member, unsigned char* smask, float* wts,
                    long long cap_n, long long cap_s) {
   auto* b = static_cast<IxBatch*>(batch);
   IxResult* r = b->results[static_cast<size_t>(i)];
   if (!r) return;
   const auto& wm = r->wm;
+  (void)cap_n;
   for (long long row = 0; row < wm.n; ++row) {
     std::memcpy(geno + row * cap_s,
                 wm.geno.data() + row * std::max<int64_t>(wm.s, 1),
@@ -241,6 +246,21 @@ void ix_batch_fill(void* batch, long long i, signed char* geno,
     member[row] = 1;
   }
   std::memset(smask, 1, static_cast<size_t>(wm.s));
+  if (wts) {
+    for (long long c = 0; c < wm.s; ++c) {
+      const std::string& key = wm.site_keys[static_cast<size_t>(c)];
+      const size_t colon = key.find(':');
+      const size_t gt = key.find('>', colon + 1);
+      long long ref_len = static_cast<long long>(gt - colon - 1);
+      long long alt_len = static_cast<long long>(key.size() - gt - 1);
+      // "<INSk>" placeholder (window without query sequence): weight = k
+      if (alt_len > 5 && key.compare(gt + 1, 4, "<INS") == 0 &&
+          key.back() == '>') {
+        alt_len = std::atoll(key.c_str() + gt + 5);
+      }
+      wts[c] = static_cast<float>(std::max({ref_len, alt_len, 1LL}));
+    }
+  }
 }
 
 void ix_batch_free(void* batch) {

@@ -30,6 +30,18 @@ namespace impop {
 
 namespace {
 
+// ASCII uppercase lookup — std::toupper is a per-call locale lookup and
+// dominated SNP emission profiles (it runs per touched base).
+struct UpperTable {
+  char t[256];
+  UpperTable() {
+    for (int i = 0; i < 256; ++i) t[i] = static_cast<char>(i);
+    for (int i = 'a'; i <= 'z'; ++i) t[i] = static_cast<char>(i - 32);
+  }
+};
+const UpperTable kUpper;
+inline char upper(char c) { return kUpper.t[static_cast<unsigned char>(c)]; }
+
 char comp(char c) {
   switch (c) {
     case 'A': return 'T';
@@ -50,25 +62,46 @@ std::string revcomp(const std::string& s) {
   return out;
 }
 
+// 24-byte POD: allele bytes live in a per-walk char pool (offsets below).
+// std::string members cost two heap allocations per emitted variant and
+// pointer-chasing compares — at ~20k emissions/window that dominated the
+// batch-extraction profile.
 struct Variant {
   int64_t pos;       // target position (0-based)
-  std::string ref;   // reference allele ("" for pure insertion)
-  std::string alt;   // alternate allele ("" for pure deletion)
-  bool operator<(const Variant& o) const {
-    if (pos != o.pos) return pos < o.pos;
-    if (ref != o.ref) return ref < o.ref;
-    return alt < o.alt;
-  }
-  bool operator==(const Variant& o) const {
-    return pos == o.pos && ref == o.ref && alt == o.alt;
-  }
+  uint32_t ref_off;  // pool offset of reference allele (len 0 = insertion)
+  uint32_t alt_off;  // pool offset of alternate allele (len 0 = deletion)
+  uint32_t ref_len;
+  uint32_t alt_len;
 };
+
+inline int cmp_span(const char* a, uint32_t alen, const char* b,
+                    uint32_t blen) {
+  const uint32_t m = alen < blen ? alen : blen;
+  if (m) {
+    const int c = std::memcmp(a, b, m);
+    if (c) return c;
+  }
+  return (alen > blen) - (alen < blen);
+}
+
+// Lexicographic (pos, ref, alt) — the same total order the previous
+// std::string representation induced; column order (and thus site_keys
+// output order) is pinned by tests against the Python oracle.
+inline int cmp_variant(const Variant& a, const char* pa, const Variant& b,
+                       const char* pb) {
+  if (a.pos != b.pos) return a.pos < b.pos ? -1 : 1;
+  const int c =
+      cmp_span(pa + a.ref_off, a.ref_len, pb + b.ref_off, b.ref_len);
+  if (c) return c;
+  return cmp_span(pa + a.alt_off, a.alt_len, pb + b.alt_off, b.alt_len);
+}
 
 // One record's window-binned calls over a scan range.
 struct RecWalk {
   const PafRecord* rec = nullptr;
   std::string row_name;
   int64_t t_final = 0;            // final target pos reached by the walk
+  std::string pool;               // allele bytes (Variant offsets index here)
   std::vector<Variant> variants;  // window-clipped; (win, variant)-sorted
   std::vector<int32_t> win_of;    // parallel to variants, non-decreasing
   // variant index range per window: (win, begin); end = next begin
@@ -111,12 +144,20 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
   auto target_base = [&](int64_t pos) -> char {
     const int64_t off = pos - lo;
     if (off < 0 || off >= static_cast<int64_t>(tseq.size())) return 'N';
-    return static_cast<char>(std::toupper(tseq[static_cast<size_t>(off)]));
+    return upper(tseq[static_cast<size_t>(off)]);
   };
 
   int64_t tpos = rec->target_start;
   int64_t qi = 0;
   const size_t first_op = rec->seek(lo, &tpos, &qi);
+
+  // one allocation up front: ~one variant per non-match op, ~2 pool bytes
+  // each (SNPs dominate); growth reallocations copied ~2x the final ~400 KB
+  // per record otherwise
+  const size_t est = rec->cigar.size() - std::min(first_op, rec->cigar.size());
+  out->variants.reserve(est);
+  out->win_of.reserve(est);
+  out->pool.reserve(2 * est + 16);
 
   // Query access: O(1) view when the store supports it; otherwise one
   // materialised slice covering the range's query extent (the extent's end
@@ -157,16 +198,13 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
     if (!have_q) return 'N';
     if (view.valid()) {
       if (!rec->reverse) {
-        return static_cast<char>(
-            std::toupper(view.at(rec->query_start + q)));
+        return upper(view.at(rec->query_start + q));
       }
-      return comp(static_cast<char>(
-          std::toupper(view.at(rec->query_end - 1 - q))));
+      return comp(upper(view.at(rec->query_end - 1 - q)));
     }
     const int64_t off = q - q_lo;
     if (off < 0 || off >= static_cast<int64_t>(qslice.size())) return 'N';
-    return static_cast<char>(
-        std::toupper(qslice[static_cast<size_t>(off)]));
+    return upper(qslice[static_cast<size_t>(off)]);
   };
 
   // Window cursors: walk positions are non-decreasing, so each advances
@@ -185,9 +223,12 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
     if (ci < n_win && wstart[ci] < p) return static_cast<int32_t>(ci);
     return -1;
   };
-  auto emit = [&](int32_t w, Variant v) {
+  auto emit_snp = [&](int32_t w, int64_t pos, char ref_c, char alt_c) {
+    const uint32_t off = static_cast<uint32_t>(out->pool.size());
+    out->pool.push_back(ref_c);
+    out->pool.push_back(alt_c);
     out->win_of.push_back(w);
-    out->variants.push_back(std::move(v));
+    out->variants.push_back({pos, off, off + 1, 1, 1});
   };
 
   for (size_t oi = first_op; oi < rec->cigar.size(); ++oi) {
@@ -209,7 +250,7 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
               const char tb = target_base(p);
               const char qb = query_base(qi + k);
               if (tb != qb && tb != 'N' && qb != 'N') {
-                emit(w, {p, std::string(1, tb), std::string(1, qb)});
+                emit_snp(w, p, tb, qb);
               }
             }
           }
@@ -224,8 +265,7 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
           if (p >= lo && p < hi) {
             const int32_t w = win_at_base(p);
             if (w >= 0) {
-              emit(w, {p, std::string(1, target_base(p)),
-                       std::string(1, query_base(qi + k))});
+              emit_snp(w, p, target_base(p), query_base(qi + k));
             }
           }
         }
@@ -236,26 +276,28 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
       case 'I': {
         const int32_t w = win_at_ins(tpos);
         if (w >= 0 && tpos <= hi) {
-          std::string alt;
+          std::string& pool = out->pool;
+          const uint32_t aoff = static_cast<uint32_t>(pool.size());
           if (have_q && view.valid()) {
-            alt.reserve(static_cast<size_t>(op.len));
             for (int64_t k = 0; k < op.len; ++k) {
-              alt.push_back(query_base(qi + k));
+              pool.push_back(query_base(qi + k));
             }
           } else if (have_q) {
             const int64_t off = qi - q_lo;
             if (off >= 0 &&
                 off + op.len <= static_cast<int64_t>(qslice.size())) {
-              alt = qslice.substr(static_cast<size_t>(off),
-                                  static_cast<size_t>(op.len));
-              for (char& c : alt) c = static_cast<char>(std::toupper(c));
+              for (int64_t k = 0; k < op.len; ++k) {
+                pool.push_back(upper(qslice[static_cast<size_t>(off + k)]));
+              }
             } else {
-              alt = "<INS" + std::to_string(op.len) + ">";
+              pool += "<INS" + std::to_string(op.len) + ">";
             }
           } else {
-            alt = "<INS" + std::to_string(op.len) + ">";
+            pool += "<INS" + std::to_string(op.len) + ">";
           }
-          emit(w, {tpos, "", std::move(alt)});
+          const uint32_t alen = static_cast<uint32_t>(pool.size()) - aoff;
+          out->win_of.push_back(w);
+          out->variants.push_back({tpos, aoff, aoff, 0, alen});
         }
         qi += op.len;
         break;
@@ -271,10 +313,14 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
             const int64_t ds = std::max(dlo, wstart[cw]);
             const int64_t de = std::min(dhi, wend[cw]);
             if (ds < de) {
-              std::string ref;
-              ref.reserve(static_cast<size_t>(de - ds));
-              for (int64_t p = ds; p < de; ++p) ref += target_base(p);
-              emit(static_cast<int32_t>(cw), {ds, std::move(ref), ""});
+              std::string& pool = out->pool;
+              const uint32_t roff = static_cast<uint32_t>(pool.size());
+              for (int64_t p = ds; p < de; ++p) {
+                pool.push_back(target_base(p));
+              }
+              out->win_of.push_back(static_cast<int32_t>(cw));
+              out->variants.push_back(
+                  {ds, roff, roff, static_cast<uint32_t>(de - ds), 0});
             }
           }
         }
@@ -297,11 +343,13 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
 
   // Emission is (win, variant)-sorted by construction for well-formed
   // CIGARs; guard with an index sort + dedup if an exotic one violates it.
+  const char* pool = out->pool.data();
   bool sorted = true;
   for (size_t i = 1; i < out->variants.size(); ++i) {
     if (out->win_of[i - 1] > out->win_of[i] ||
         (out->win_of[i - 1] == out->win_of[i] &&
-         out->variants[i] < out->variants[i - 1])) {
+         cmp_variant(out->variants[i], pool, out->variants[i - 1], pool) <
+             0)) {
       sorted = false;
       break;
     }
@@ -312,14 +360,14 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
     std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
       if (out->win_of[a] != out->win_of[b])
         return out->win_of[a] < out->win_of[b];
-      return out->variants[a] < out->variants[b];
+      return cmp_variant(out->variants[a], pool, out->variants[b], pool) < 0;
     });
     std::vector<Variant> v2;
     std::vector<int32_t> w2;
     v2.reserve(order.size());
     w2.reserve(order.size());
     for (size_t i : order) {
-      v2.push_back(std::move(out->variants[i]));
+      v2.push_back(out->variants[i]);
       w2.push_back(out->win_of[i]);
     }
     out->variants = std::move(v2);
@@ -329,11 +377,12 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
   size_t keep = 0;
   for (size_t i = 0; i < out->variants.size(); ++i) {
     if (keep > 0 && out->win_of[keep - 1] == out->win_of[i] &&
-        out->variants[keep - 1] == out->variants[i]) {
+        cmp_variant(out->variants[keep - 1], pool, out->variants[i], pool) ==
+            0) {
       continue;
     }
     if (keep != i) {
-      out->variants[keep] = std::move(out->variants[i]);
+      out->variants[keep] = out->variants[i];
       out->win_of[keep] = out->win_of[i];
     }
     ++keep;
@@ -397,27 +446,32 @@ WindowMatrix build_window(const std::vector<const RecWalk*>& by_name,
   // two-pointer merges beat sorting the duplicate-heavy concatenation (the
   // sort's comparator degenerated to string compares between equal keys and
   // dominated batch-extraction profiles).
-  std::vector<const Variant*> site_union, merged;
+  struct SiteRef {
+    const Variant* v;
+    const char* pool;
+  };
+  std::vector<SiteRef> site_union, merged;
   for (const RowItem& r : rows) {
     for (const auto& [rw, vb, vend] : r.parts) {
-      const Variant* base = rw->variants.data();
-      const Variant* s_it = base + vb;
-      const Variant* s_end = base + vend;
+      const char* pool = rw->pool.data();
+      const Variant* s_it = rw->variants.data() + vb;
+      const Variant* s_end = rw->variants.data() + vend;
       merged.clear();
       merged.reserve(site_union.size() + static_cast<size_t>(vend - vb));
       auto u_it = site_union.begin();
       while (u_it != site_union.end() && s_it != s_end) {
-        if (**u_it < *s_it) {
+        const int c = cmp_variant(*u_it->v, u_it->pool, *s_it, pool);
+        if (c < 0) {
           merged.push_back(*u_it++);
-        } else if (*s_it < **u_it) {
-          merged.push_back(s_it++);
+        } else if (c > 0) {
+          merged.push_back({s_it++, pool});
         } else {
           merged.push_back(*u_it++);
           ++s_it;
         }
       }
       merged.insert(merged.end(), u_it, site_union.end());
-      for (; s_it != s_end; ++s_it) merged.push_back(s_it);
+      for (; s_it != s_end; ++s_it) merged.push_back({s_it, pool});
       site_union.swap(merged);
     }
   }
@@ -428,10 +482,14 @@ WindowMatrix build_window(const std::vector<const RecWalk*>& by_name,
   wm.names.reserve(rows.size());
   wm.site_keys.reserve(site_union.size());
   wm.site_pos.reserve(site_union.size());
-  for (const Variant* v : site_union) {
-    wm.site_keys.push_back(std::to_string(v->pos) + ":" + v->ref + ">" +
-                           v->alt);
-    wm.site_pos.push_back(v->pos);
+  for (const SiteRef& sr : site_union) {
+    std::string key = std::to_string(sr.v->pos);
+    key += ':';
+    key.append(sr.pool + sr.v->ref_off, sr.v->ref_len);
+    key += '>';
+    key.append(sr.pool + sr.v->alt_off, sr.v->alt_len);
+    wm.site_keys.push_back(std::move(key));
+    wm.site_pos.push_back(sr.v->pos);
   }
   wm.geno.assign(
       static_cast<size_t>(wm.n) * static_cast<size_t>(std::max<int64_t>(wm.s, 1)),
@@ -463,21 +521,26 @@ WindowMatrix build_window(const std::vector<const RecWalk*>& by_name,
       if (hi_c > lo_c) std::memset(g + lo_c, 0, static_cast<size_t>(hi_c - lo_c));
       for (int64_t c = pos_lower(r.cs);
            c < s_count && wm.site_pos[static_cast<size_t>(c)] == r.cs; ++c) {
-        if (!site_union[static_cast<size_t>(c)]->ref.empty()) g[c] = 0;
+        if (site_union[static_cast<size_t>(c)].v->ref_len != 0) g[c] = 0;
       }
       for (int64_t c = pos_lower(r.ce);
            c < s_count && wm.site_pos[static_cast<size_t>(c)] == r.ce; ++c) {
-        if (site_union[static_cast<size_t>(c)]->ref.empty()) g[c] = 0;
+        if (site_union[static_cast<size_t>(c)].v->ref_len == 0) g[c] = 0;
       }
     }
-    // variant cells: binary search into the sorted union
+    // variant cells: the row's slice and the union share one sort order,
+    // so a two-pointer co-walk finds each column in O(union + slice)
+    // instead of per-variant binary searches
     for (const auto& [rw, vb, vend] : r.parts) {
+      const char* pool = rw->pool.data();
+      size_t u = 0;
       for (int32_t i = vb; i < vend; ++i) {
         const Variant& v = rw->variants[static_cast<size_t>(i)];
-        auto it = std::lower_bound(
-            site_union.begin(), site_union.end(), &v,
-            [](const Variant* a, const Variant* b) { return *a < *b; });
-        g[it - site_union.begin()] = 1;
+        while (u < site_union.size() &&
+               cmp_variant(*site_union[u].v, site_union[u].pool, v, pool) < 0) {
+          ++u;
+        }
+        g[u] = 1;
       }
     }
     ++row;

@@ -1079,6 +1079,91 @@ def cmd_scan(args) -> int:
                 kept.append((reg, rs))
             return tiles, kept, failures
 
+        cap_hint = [64, 128]  # [n, s] compile-shape floors, grown per chunk
+
+        def prepare_chunk_native(chunk, n_chunks):
+            """Native fast path: ONE C++ call per target-contiguous window
+            group extracts, pads and masks the whole batch (sorted
+            non-overlapping groups take the range walker inside — one CIGAR
+            walk per PAF record per BATCH, not per window).  Python only
+            assembles panel masks and lengths."""
+            with timers.stage("extract"):
+                groups: List[Tuple[str, list]] = []
+                for reg, rs in chunk:
+                    tgt = rs.rsplit(":", 1)[0]
+                    if groups and groups[-1][0] == tgt:
+                        groups[-1][1].append((reg, rs))
+                    else:
+                        groups.append((tgt, [(reg, rs)]))
+                parts = []
+                for tgt, items in groups:
+                    parts.append(extractor.extract_batch_padded(
+                        tgt, [(reg.start, reg.end) for reg, _ in items],
+                        min_cap_n=cap_hint[0], min_cap_s=cap_hint[1],
+                        want_weights=use_weights))
+            with timers.stage("build"):
+                failures: List[Tuple[str, str]] = []
+                kept: List[Tuple[Region, str]] = []
+                rows = []  # (part_idx, window_idx_within_part)
+                for gi, ((tgt, items), part) in enumerate(zip(groups, parts)):
+                    errs = part[5]
+                    for k, (reg, rs) in enumerate(items):
+                        if errs[k]:
+                            failures.append((rs, errs[k]))
+                        else:
+                            kept.append((reg, rs))
+                            rows.append((gi, k))
+                if not kept:
+                    return None, kept, failures, False
+                cap_n = _capacity_for([p[0].shape[1] for p in parts])
+                cap_s = max(p[0].shape[2] for p in parts)
+                cap_hint[0] = max(cap_hint[0], cap_n)
+                cap_hint[1] = max(cap_hint[1], cap_s)
+                w = batch_size if n_chunks > 1 else len(kept)
+                part0 = parts[0]
+                if (len(parts) == 1 and not failures and w == len(kept)
+                        and part0[0].shape[1] == cap_n
+                        and part0[0].shape[2] == cap_s):
+                    # whole-chunk success with stable caps: adopt the
+                    # C++-filled buffers without copying
+                    geno, member, smask = part0[0], part0[1], part0[2]
+                    wts = (part0[3] if use_weights
+                           else np.ones((w, cap_s), np.float32))
+                else:
+                    geno = np.full((w, cap_n, cap_s), -1, dtype=np.int8)
+                    member = np.zeros((w, cap_n), bool)
+                    smask = np.zeros((w, cap_s), bool)
+                    wts = np.ones((w, cap_s), np.float32)
+                    for wi, (gi, k) in enumerate(rows):
+                        g, mem, sm, wt = parts[gi][:4]
+                        geno[wi, :g.shape[1], :g.shape[2]] = g[k]
+                        member[wi, :g.shape[1]] = mem[k]
+                        smask[wi, :g.shape[2]] = sm[k]
+                        if use_weights:
+                            wts[wi, :g.shape[2]] = wt[k]
+                panels = np.zeros((w, p_count, cap_n), bool)
+                lengths = np.zeros(w, np.float32)
+                mask_by_id: dict = {}
+                for wi, ((gi, k), (reg, rs)) in enumerate(zip(rows, kept)):
+                    lengths[wi] = reg.length
+                    nm = parts[gi][4][k]
+                    if panel_lists:
+                        m = mask_by_id.get(id(nm))
+                        if m is None:
+                            m = panel_masks_for(tuple(nm))
+                            mask_by_id[id(nm)] = m
+                        panels[wi, :, :len(nm)] = m
+                    else:
+                        panels[wi, 0, :len(nm)] = True
+                disjoint = bool(with_pairs) and not bool(
+                    (panels[:, np.asarray(pair_a)]
+                     & panels[:, np.asarray(pair_b)]).any()
+                )
+            with timers.stage("h2d"):
+                dev_args = put_batch((geno, member, smask, panels, lengths,
+                                      wts))
+            return dev_args, kept, failures, disjoint
+
         def prepare_chunk(chunk, n_chunks):
             """Worker-side: extract + pad + submit H2D for one batch.
 
@@ -1089,6 +1174,9 @@ def cmd_scan(args) -> int:
             pipeline the stage totals intentionally exceed nothing and sum
             to more than elapsed.
             """
+            if (geno_src is None and extractor is not None
+                    and hasattr(extractor, "extract_batch_padded")):
+                return prepare_chunk_native(chunk, n_chunks)
             with timers.stage("extract"):
                 tiles, kept, failures = load_chunk(chunk)
             if not tiles:

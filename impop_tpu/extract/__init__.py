@@ -80,6 +80,27 @@ def load_library(rebuild: bool = False) -> ctypes.CDLL:
     lib.ix_site_keys_blob.restype = ctypes.c_char_p
     lib.ix_site_keys_blob.argtypes = [ctypes.c_void_p]
     lib.ix_result_free.argtypes = [ctypes.c_void_p]
+    lib.ix_extract_batch.restype = ctypes.c_void_p
+    lib.ix_extract_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_longlong, ctypes.c_int,
+    ]
+    lib.ix_batch_dims.restype = ctypes.c_int
+    lib.ix_batch_dims.argtypes = [
+        ctypes.c_void_p, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_longlong),
+    ]
+    lib.ix_batch_error.restype = ctypes.c_char_p
+    lib.ix_batch_error.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    lib.ix_batch_result.restype = ctypes.c_void_p
+    lib.ix_batch_result.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    lib.ix_batch_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.POINTER(ctypes.c_byte),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_longlong,
+    ]
+    lib.ix_batch_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -110,6 +131,26 @@ class NativeExtractor:
     def __exit__(self, *exc):
         self.close()
 
+    def _read_result(self, res, n_v: int, s_v: int) -> WindowMatrix:
+        geno = np.full((n_v, max(s_v, 1)), -1, dtype=np.int8)
+        if n_v:
+            buf = geno.ctypes.data_as(ctypes.POINTER(ctypes.c_byte))
+            self._lib.ix_copy_geno(res, buf)
+        geno = geno[:, :s_v] if s_v else geno[:, :0]
+        # bulk reads: one joined blob / one array copy per field instead
+        # of n+2s ctypes round trips (dominates at ~1e6 sites)
+        nb = self._lib.ix_names_blob(res)
+        names = nb.decode().splitlines() if n_v and nb else []
+        kb = self._lib.ix_site_keys_blob(res)
+        site_keys = kb.decode().splitlines() if s_v and kb else []
+        site_pos = np.zeros(s_v, dtype=np.int64)
+        if s_v:
+            self._lib.ix_copy_site_pos(
+                res, site_pos.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_longlong))
+            )
+        return WindowMatrix(names, site_keys, site_pos, geno)
+
     def extract(self, target: str, start: int, end: int) -> WindowMatrix:
         n = ctypes.c_longlong()
         s = ctypes.c_longlong()
@@ -124,27 +165,133 @@ class NativeExtractor:
                 f"{err.decode() if err else 'unknown'}"
             )
         try:
-            n_v, s_v = n.value, s.value
-            geno = np.full((n_v, max(s_v, 1)), -1, dtype=np.int8)
-            if n_v:
-                buf = geno.ctypes.data_as(ctypes.POINTER(ctypes.c_byte))
-                self._lib.ix_copy_geno(res, buf)
-            geno = geno[:, :s_v] if s_v else geno[:, :0]
-            # bulk reads: one joined blob / one array copy per field instead
-            # of n+2s ctypes round trips (dominates at ~1e6 sites)
-            nb = self._lib.ix_names_blob(res)
-            names = nb.decode().splitlines() if n_v and nb else []
-            kb = self._lib.ix_site_keys_blob(res)
-            site_keys = kb.decode().splitlines() if s_v and kb else []
-            site_pos = np.zeros(s_v, dtype=np.int64)
-            if s_v:
-                self._lib.ix_copy_site_pos(
-                    res, site_pos.ctypes.data_as(
-                        ctypes.POINTER(ctypes.c_longlong))
-                )
-            return WindowMatrix(names, site_keys, site_pos, geno)
+            return self._read_result(res, n.value, s.value)
         finally:
             self._lib.ix_result_free(res)
+
+    def extract_batch(self, target: str, windows,
+                      threads: int = 0) -> List[Optional[WindowMatrix]]:
+        """Extract a batch of windows in ONE native call.
+
+        Sorted, non-overlapping batches (the tiled-scan common case) take
+        the range fast path: one CIGAR walk per PAF record for the whole
+        batch instead of one per (record, window) — the host-side analogue
+        of batching windows onto the device.  Returns one WindowMatrix per
+        window, or None for a window whose extraction failed (its message
+        is reported via ``errors``, parallel list attribute on the return's
+        ``.errors`` — see below).
+
+        The return value is a plain list; per-window failures are recorded
+        as None entries and the corresponding messages are available from
+        :meth:`last_errors` until the next batch call.
+        """
+        wins = [(int(s), int(e)) for s, e in windows]
+        count = len(wins)
+        self.last_errors: List[str] = [""] * count
+        if count == 0:
+            return []
+        starts = (ctypes.c_longlong * count)(*[s for s, _ in wins])
+        ends = (ctypes.c_longlong * count)(*[e for _, e in wins])
+        batch = self._lib.ix_extract_batch(
+            self._handle, target.encode(), starts, ends, count, threads
+        )
+        if not batch:
+            raise RuntimeError(f"extract_batch failed for {target}")
+        try:
+            out: List[Optional[WindowMatrix]] = []
+            n = ctypes.c_longlong()
+            s = ctypes.c_longlong()
+            for i in range(count):
+                if self._lib.ix_batch_dims(batch, i, ctypes.byref(n),
+                                           ctypes.byref(s)) != 0:
+                    err = self._lib.ix_batch_error(batch, i)
+                    self.last_errors[i] = err.decode() if err else "unknown"
+                    out.append(None)
+                    continue
+                res = self._lib.ix_batch_result(batch, i)
+                out.append(self._read_result(res, n.value, s.value))
+            return out
+        finally:
+            self._lib.ix_batch_free(batch)
+
+    def extract_batch_padded(self, target: str, windows, threads: int = 0,
+                             min_cap_n: int = 1, min_cap_s: int = 128,
+                             want_weights: bool = False):
+        """One native call → padded scan-ready tiles for a window batch.
+
+        Returns ``(geno [w,cap_n,cap_s] int8, member [w,cap_n] bool,
+        smask [w,cap_s] bool, wts [w,cap_s] f32 or None, names per window,
+        errors per window)`` with the padding/masking loops (and, when
+        ``want_weights``, the identity-weight key parsing) done in C++ —
+        the per-window numpy assembly dominated the Python profile once the
+        extraction itself was range-batched.  ``cap_s`` is rounded up to a
+        multiple of 128 (device lane width); ``cap_n`` is the batch max.
+        Failed windows get all-False member rows and their message in
+        ``errors``; names lists are deduplicated across windows (a scan
+        over one region typically has one shared row set).
+        """
+        wins = [(int(s), int(e)) for s, e in windows]
+        count = len(wins)
+        if count == 0:
+            return (np.zeros((0, 0, 0), np.int8), np.zeros((0, 0), bool),
+                    np.zeros((0, 0), bool), None, [], [])
+        starts = (ctypes.c_longlong * count)(*[s for s, _ in wins])
+        ends = (ctypes.c_longlong * count)(*[e for _, e in wins])
+        batch = self._lib.ix_extract_batch(
+            self._handle, target.encode(), starts, ends, count, threads
+        )
+        if not batch:
+            raise RuntimeError(f"extract_batch failed for {target}")
+        try:
+            n_c = ctypes.c_longlong()
+            s_c = ctypes.c_longlong()
+            dims = []
+            errors: List[str] = [""] * count
+            for i in range(count):
+                if self._lib.ix_batch_dims(batch, i, ctypes.byref(n_c),
+                                           ctypes.byref(s_c)) != 0:
+                    err = self._lib.ix_batch_error(batch, i)
+                    errors[i] = err.decode() if err else "unknown"
+                    dims.append((0, 0))
+                else:
+                    dims.append((n_c.value, s_c.value))
+            cap_n = max(min_cap_n, max((n for n, _ in dims), default=1) or 1)
+            cap_s = max(min_cap_s,
+                        max((s for _, s in dims), default=1) or 1)
+            cap_s = ((cap_s + 127) // 128) * 128
+            geno = np.full((count, cap_n, cap_s), -1, dtype=np.int8)
+            member = np.zeros((count, cap_n), dtype=np.uint8)
+            smask = np.zeros((count, cap_s), dtype=np.uint8)
+            wts = (np.ones((count, cap_s), dtype=np.float32)
+                   if want_weights else None)
+            null_f = ctypes.POINTER(ctypes.c_float)()
+            names: List[List[str]] = []
+            blob_cache: dict = {}
+            for i in range(count):
+                if dims[i] == (0, 0) and errors[i]:
+                    names.append([])
+                    continue
+                self._lib.ix_batch_fill(
+                    batch, i,
+                    geno[i].ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+                    member[i].ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_ubyte)),
+                    smask[i].ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                    wts[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                    if want_weights else null_f,
+                    cap_n, cap_s,
+                )
+                res = self._lib.ix_batch_result(batch, i)
+                blob = self._lib.ix_names_blob(res) or b""
+                cached = blob_cache.get(blob)
+                if cached is None:
+                    cached = blob.decode().splitlines()
+                    blob_cache[blob] = cached
+                names.append(cached)
+            return (geno, member.view(bool), smask.view(bool), wts, names,
+                    errors)
+        finally:
+            self._lib.ix_batch_free(batch)
 
 
 def site_weights_from_keys(site_keys) -> np.ndarray:

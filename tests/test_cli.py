@@ -270,3 +270,34 @@ def test_cli_ehh_matches_reference_loops(tmp_path, rng):
         parts = line.split()
         assert parts[0] == "1" and parts[4] in ("REF", "ALT")
         float(parts[5])
+
+
+def test_cli_scan_native_batch_matches_per_window(tmp_path, rng, monkeypatch):
+    """The C++ padded-batch fast path (extract_batch_padded) must produce a
+    byte-identical scan table to the per-window extraction path, including
+    overlapping windows (which fall back to the general batch path inside
+    the native layer) and panel masks/weights."""
+    from impop_tpu.extract import NativeExtractor
+    from impop_tpu.extract.simulate import simulate
+
+    sim = simulate(str(tmp_path), ref_len=6000, n_haps=10, seed=5,
+                   site_pool=40, span=(0, 6000))
+    bed = tmp_path / "w.bed"
+    # sorted non-overlapping windows PLUS one overlapping window: the
+    # native batch call must route the latter through its general path
+    bed.write_text("chr1\t0\t1500\nchr1\t1000\t2500\nchr1\t2500\t4000\n"
+                   "chr1\t4000\t6000\n")
+    (tmp_path / "agc.P1").write_text("HG00900\nHG00901\nHG00902\n")
+    (tmp_path / "agc.P2").write_text("HG00903\nHG00904\n")
+    args = ["-b", str(bed), "--paf", sim.paf_path,
+            "--fasta", sim.fasta_path, "-P", "CHM13#0#",
+            "--panel", str(tmp_path / "agc.P1"),
+            "--panel", str(tmp_path / "agc.P2"),
+            "--identity-mode", "columns", "--batch", "2"]
+    out_fast = tmp_path / "fast.tsv"
+    main(["scan", *args, "-o", str(out_fast)])
+    out_slow = tmp_path / "slow.tsv"
+    monkeypatch.delattr(NativeExtractor, "extract_batch_padded")
+    main(["scan", *args, "-o", str(out_slow)])
+    assert out_fast.read_text() == out_slow.read_text()
+    assert len(out_fast.read_text().splitlines()) == 5
