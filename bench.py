@@ -186,10 +186,18 @@ def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192):
     dt = time.perf_counter() - t0
     per_win = dt / iters
     gcells = n * n * s / 1e9
+    # achieved FLOP rate at the kernel's own cost model (6 flops/cell,
+    # ops/pairdiff.py) against the chip's bf16 peak, so the artifact shows
+    # distance to speed-of-light rather than only a cells/sec figure
+    flops_per_cell = 6.0
+    peak_tflops = float(os.environ.get("IMPOP_BENCH_PEAK_TFLOPS", 197.0))
+    tflops = gcells * flops_per_cell / per_win / 1e3
     return {
         "n": n, "s": s,
         "windows_per_sec": round(iters / dt, 3),
         "gcells_per_sec": round(gcells / per_win, 2),
+        "tflops": round(tflops, 2),
+        "mfu_pct": round(100.0 * tflops / peak_tflops, 2),
     }
 
 
@@ -226,18 +234,20 @@ def bench_ehh(iters=8, w=64, n=CAP_N, s=CAP_S):
 
 
 def bench_e2e_scan():
-    """Honest end-to-end: the scan CLI on simulated PAF+FASTA — native
-    extraction + H2D + device + emit.  Steady-state rate excludes only the
-    first device call (jit compile); per-call stage samples come from
-    scan --timing-json."""
+    """Honest end-to-end: the scan CLI on a simulated chromosome-scale
+    PAF+FASTA pangenome — native extraction + H2D + device + emit.
+    Chromosome scale (IMPOP_BENCH_E2E_MB megabases, default 10 -> 2000
+    windows, ~10 device batches at the tuned batch size) so the
+    steady-state rate rests on dozens of samples; steady-state excludes
+    only the first device call's jit compile (per-call stage samples from
+    scan --timing-json)."""
     from impop_tpu.cli import main
     from impop_tpu.extract.simulate import simulate
 
     tmp = tempfile.mkdtemp(prefix="impop_bench_")
     try:
-        ref_len = 1_000_000  # five 200kb units -> 5 device batches, so the
-                             # steady-state rate rests on 4 post-compile
-                             # samples instead of 1
+        ref_len = int(float(os.environ.get("IMPOP_BENCH_E2E_MB", 10))
+                      * 1_000_000)
         sim = simulate(tmp, ref_len=ref_len, n_haps=N_HAP - 1,
                        site_pool=ref_len // 60, seed=11,
                        span=(0, ref_len))
@@ -245,12 +255,16 @@ def bench_e2e_scan():
         with open(bed, "w") as fh:
             for lo in range(0, ref_len, int(WIN_BP)):
                 fh.write(f"chr1\t{lo}\t{lo + int(WIN_BP)}\n")
-        # 5 panels over the haplotype names
-        names = [h.name for h in sim.haplotypes]
+        # 5 panels in the reference's panel-list convention
+        # (SAMPLE_hapN entries, h-fst.py:18-61) so the masks actually
+        # match the extracted row names — full contig names canonicalize
+        # to nothing and would silently yield empty panels
+        ents = [f"{h.name.split('#')[0]}_hap{h.name.split('#')[1]}"
+                for h in sim.haplotypes]
         panel_args = []
         start = 0
         for pname, size in PANEL_SIZES.items():
-            take = names[start:start + size]
+            take = ents[start:start + size]
             start += size
             pfile = os.path.join(tmp, f"agc.{pname}")
             with open(pfile, "w") as fh:
@@ -260,7 +274,8 @@ def bench_e2e_scan():
         argv = ["scan", "-b", bed, "--paf", sim.paf_path,
                 "--fasta", sim.fasta_path, "-P", "CHM13#0#",
                 "-o", os.path.join(tmp, "out.tsv"),
-                "--batch", "40", "--timing-json", timing] + panel_args
+                "--batch", str(W_BATCH), "--timing-json", timing]
+        argv += panel_args
         main(argv)
         with open(timing) as fh:
             t = json.load(fh)
@@ -336,7 +351,8 @@ def main():
     units_per_sec = windows_per_sec / UNIT_WINDOWS
 
     try:
-        py_windows_per_sec = bench_python_reference(batch)
+        # >=10 windows so the extrapolation doesn't hang off one sample
+        py_windows_per_sec = bench_python_reference(batch, n_windows=10)
         vs_baseline = windows_per_sec / py_windows_per_sec
     except Exception:
         vs_baseline = float("nan")

@@ -456,10 +456,155 @@ def _two_panel_batch(args, mats, exact=False):
                               exact_names=exact)[0]
 
 
+def _load_geno_windows(args, regions):
+    """Allele-tile windows (geno, sorted names) for the pair-shard path."""
+    geno_src = (GenoSource(args.geno_dir)
+                if getattr(args, "geno_dir", None) else None)
+    extractor = None
+    if geno_src is None:
+        fasta_store = _resolve_fasta(args)
+        if args.paf and fasta_store:
+            extractor = _open_extractor(args.paf, fasta_store)
+    if geno_src is None and extractor is None:
+        return None
+    kept, tiles, rss = [], [], []
+    for reg in regions:
+        rs = reg.region_string(args.prefix)
+        try:
+            if geno_src is not None:
+                g, names, _ = geno_src.load(rs)
+            else:
+                wm = extractor.extract(rs.rsplit(":", 1)[0],
+                                       reg.start, reg.end)
+                g, names = wm.geno, wm.names
+        except Exception as e:
+            print(f"Warning: skipping window {rs}: {e}", file=sys.stderr)
+            continue
+        order = np.argsort(names)
+        tiles.append((np.asarray(g, np.int8)[order],
+                      [names[i] for i in order]))
+        kept.append(reg)
+        rss.append(rs)
+    return kept, tiles, rss
+
+
+def _run_hudson_pair_sharded(args, force: bool) -> Optional[int]:
+    """Direct-method Hudson with the pair space sharded by row blocks over
+    the local devices (parallel/pairspace.py): each device computes only
+    its [N/D, N] block of pairwise differences and partial sums merge with
+    psum — the [N, N] identity matrix never materialises anywhere.  For
+    haplotype counts past a few thousand this is the scaling path the
+    replicated [N, N] batch cannot take (SURVEY §2.3 row 3,
+    h-fst.py:141-151).  Output schema and host-side f64 derivations match
+    the replicated path; only f32 summation order differs.
+
+    Returns None when ``force`` is False and every window is below the
+    sharding threshold (caller falls back to the replicated batch path).
+    """
+    import jax
+
+    from impop_tpu.io.panels import expand_population
+    from impop_tpu.parallel.mesh import make_mesh
+    from impop_tpu.parallel.pairspace import pair_sharded_direct_stats
+
+    regions = read_bed(args.bed)
+    loaded = _load_geno_windows(args, regions)
+    if loaded is None:
+        if force:
+            raise SystemExit("error: --pair-shard on needs an allele "
+                             "source (--geno-dir or --paf + --fasta/--agc)")
+        return None
+    kept, tiles, region_strings = loaded
+    max_n = max((g.shape[0] for g, _ in tiles), default=0)
+    if not force and max_n < 1024:
+        return None
+
+    n_dev = len(jax.local_devices())
+    mesh = make_mesh(data=n_dev)
+    pair_fn = pair_sharded_direct_stats(mesh)
+    pop_a = read_panel_file(args.pop_a)
+    pop_b = read_panel_file(args.pop_b)
+
+    # one compile: pad every window to shared caps (rows to a multiple of
+    # the mesh axis, sites to the lane width)
+    cap_n = _capacity_for([max_n])
+    cap_n = ((cap_n + n_dev - 1) // n_dev) * n_dev
+    cap_s = max(128, max((g.shape[1] for g, _ in tiles), default=1))
+    cap_s = ((cap_s + 127) // 128) * 128
+
+    out = _out_stream(args.output)
+    try:
+        print(tables.HFST_HEADER, file=out)
+        for reg, (g, names), rs in zip(kept, tiles, region_strings):
+            n, s = g.shape
+            gp = np.full((cap_n, cap_s), -1, np.int8)
+            gp[:n, :s] = g
+            member = np.zeros(cap_n, bool)
+            member[:n] = True
+            smask = np.zeros(cap_s, bool)
+            smask[:s] = True
+            if args.exact_names:
+                in_a = set(pop_a)
+                in_b = set(pop_b)
+                sel_a = np.asarray([nm in in_a for nm in names], bool)
+                sel_b = np.asarray([nm in in_b for nm in names], bool)
+            else:
+                m_a, _ = expand_population(pop_a, names)
+                m_b, _ = expand_population(pop_b, names)
+                sel_a = np.asarray([nm in m_a for nm in names], bool)
+                sel_b = np.asarray([nm in m_b for nm in names], bool)
+            overlap = sel_a & sel_b          # h-fst.py:181-185 strip
+            mask_a = np.zeros((1, cap_n), bool)
+            mask_b = np.zeros((1, cap_n), bool)
+            mask_a[0, :n] = sel_a & ~overlap
+            mask_b[0, :n] = sel_b & ~overlap
+            res = pair_fn(gp, member, smask, mask_a, mask_b,
+                          float(reg.length))
+            pi_a = float(np.asarray(res[0], np.float64)[0])
+            pi_b = float(np.asarray(res[1], np.float64)[0])
+            dxy = float(np.asarray(res[2], np.float64)[0])
+            pi_xy = 0.5 * (pi_a + pi_b)
+            fst = (dxy - pi_xy) / dxy if dxy > 0 else 0.0
+            da = dxy - pi_xy
+            inv = 1.0 / reg.length
+            print(tables.hfst_row(
+                rs, reg.length, fst,
+                pi_a * inv, pi_b * inv, pi_xy * inv, dxy * inv, da * inv,
+            ), file=out)
+            if args.log_dir:
+                _write_window_log(
+                    args.log_dir, rs, "FST Calculation",
+                    {
+                        "region": rs, "method": "direct (pair-sharded)",
+                        "devices": n_dev,
+                        "pi_a": pi_a, "pi_b": pi_b, "pi_xy": pi_xy,
+                        "dxy": dxy, "fst": fst, "da": da,
+                        "per_site_length": reg.length,
+                    },
+                )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def _run_hudson(args, grouped: bool) -> int:
     import jax.numpy as jnp
 
     from impop_tpu.parallel.scan import batch_hudson
+
+    ps_mode = getattr(args, "pair_shard", "off")
+    if ps_mode != "off" and not grouped:
+        import jax
+
+        if ps_mode == "on" or len(jax.local_devices()) > 1:
+            done = _run_hudson_pair_sharded(args, force=(ps_mode == "on"))
+            if done is not None:
+                return done
+    elif ps_mode == "on" and grouped:
+        raise SystemExit("error: --pair-shard supports the direct method "
+                         "only (the grouped estimators need the global "
+                         "[N, N] grouping recurrence)")
 
     regions = read_bed(args.bed)
     src = _make_sim_source(args)
@@ -938,8 +1083,14 @@ def cmd_scan(args) -> int:
         header += ["PI", "TAJIMAS_D"]
 
     t = jnp.float32(args.threshold)
-    pair_a = jnp.asarray([i for i, _ in pair_list] or [0], jnp.int32)
-    pair_b = jnp.asarray([j for _, j in pair_list] or [0], jnp.int32)
+    # host copies for the prefetch worker's disjointness check — fetching a
+    # device array there (np.asarray(pair_a)) synced with the TPU tunnel
+    # inside the build stage, once measured at 265 s while a prior process
+    # lease drained
+    pair_a_np = np.asarray([i for i, _ in pair_list] or [0], np.int32)
+    pair_b_np = np.asarray([j for _, j in pair_list] or [0], np.int32)
+    pair_a = jnp.asarray(pair_a_np)
+    pair_b = jnp.asarray(pair_b_np)
 
     use_weights = getattr(args, "identity_mode", "events") == "columns"
     want_afs = bool(getattr(args, "afs", None))
@@ -975,9 +1126,30 @@ def cmd_scan(args) -> int:
         afs = (panel_afs(g, m, smask, panels1, afs_bins, afs_folded)
                if want_afs
                else jnp.zeros((panels1.shape[0], 1), jnp.int32))
-        return pi_panel, d, fst, fstg, f3, s_count, n_all, afs
+        # ONE packed f32 row per window: through the remote-TPU tunnel each
+        # fetched array is its own device-to-host round trip (~100 ms), and
+        # 8 round trips per batch dominated the scan's device stage.  All
+        # packed values are exact in f32 (counts < 2^24).
+        return jnp.concatenate([
+            pi_panel, d, fst.astype(jnp.float32),
+            fstg.astype(jnp.float32), f3,
+            s_count.reshape(1).astype(jnp.float32),
+            n_all.reshape(1).astype(jnp.float32),
+            afs.reshape(-1).astype(jnp.float32),
+        ])
 
       return one_window
+
+    # packed-row layout (host-side unpack offsets)
+    q_eff = max(1, len(pair_list))
+    _o_pi = 0
+    _o_d = p_count
+    _o_fst = 2 * p_count
+    _o_fstg = _o_fst + q_eff
+    _o_f3 = _o_fstg + q_eff
+    _o_s = _o_f3 + q_eff
+    _o_n = _o_s + 1
+    _o_afs = _o_n + 1
 
     # shard the window batch over every LOCAL device; a single chip
     # degenerates to plain placement.  Multi-device uses shard_map (not
@@ -1156,8 +1328,7 @@ def cmd_scan(args) -> int:
                     else:
                         panels[wi, 0, :len(nm)] = True
                 disjoint = bool(with_pairs) and not bool(
-                    (panels[:, np.asarray(pair_a)]
-                     & panels[:, np.asarray(pair_b)]).any()
+                    (panels[:, pair_a_np] & panels[:, pair_b_np]).any()
                 )
             with timers.stage("h2d"):
                 dev_args = put_batch((geno, member, smask, panels, lengths,
@@ -1213,8 +1384,7 @@ def cmd_scan(args) -> int:
                 # host-side disjointness check selects the cheaper fused
                 # program (panel lists rarely overlap; both variants cached)
                 disjoint = bool(with_pairs) and not bool(
-                    (panels[:, np.asarray(pair_a)]
-                     & panels[:, np.asarray(pair_b)]).any()
+                    (panels[:, pair_a_np] & panels[:, pair_b_np]).any()
                 )
             with timers.stage("h2d"):
                 dev_args = put_batch((geno, member, smask, panels, lengths,
@@ -1259,8 +1429,16 @@ def cmd_scan(args) -> int:
                 # remote-TPU tunnel block_until_ready can return before
                 # execution finishes (CLAUDE.md), which would silently move
                 # compile+execute time out of this stage
-                (pi_v, d_v, fst_v, fstg_v, f3_v, s_v, n_v,
-                 afs_v) = jax.tree_util.tree_map(np.asarray, out_dev)
+                packed = np.asarray(out_dev)
+                pi_v = packed[:, _o_pi:_o_d]
+                d_v = packed[:, _o_d:_o_fst]
+                fst_v = packed[:, _o_fst:_o_fstg]
+                fstg_v = packed[:, _o_fstg:_o_f3]
+                f3_v = packed[:, _o_f3:_o_s]
+                s_v = packed[:, _o_s]
+                n_v = packed[:, _o_n]
+                afs_v = packed[:, _o_afs:].reshape(
+                    packed.shape[0], p_count, -1)
             timers.add_windows(len(kept))
             for wi, (reg, rs) in enumerate(kept):
                 cells = [rs, str(reg.length), str(int(n_v[wi])),
@@ -1939,6 +2117,13 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "hud":
             p.add_argument("-m", "--method", choices=["direct", "grouped"],
                            default="direct")
+        if name in ("hfst", "hud"):
+            p.add_argument("--pair-shard", choices=["auto", "on", "off"],
+                           default="auto",
+                           help="shard the [N, N] pair space by row blocks "
+                                "over local devices (direct method, allele "
+                                "sources only); auto = when N >= 1024 and "
+                                "more than one device is attached")
         p.set_defaults(func=fn)
 
     p = sub.add_parser("tajd", help="segregating sites + pi + Tajima's D")

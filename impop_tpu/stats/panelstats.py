@@ -13,6 +13,7 @@ stats.fst.hudson_fst_direct_pairs — asserted by tests/test_panelstats.py.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -22,6 +23,43 @@ from impop_tpu.stats.fst import FstResult, _assemble
 from impop_tpu.stats.grouping import greedy_group_panels, group_sizes
 
 __all__ = ["PanelStats", "fused_panel_stats"]
+
+# Debug guard for the seed-representative grouped-Hudson invariant (set
+# IMPOP_TPU_DEBUG_INVARIANTS=1, or flip the module flag in tests): verifies
+# on device that every group-seed pair the fused reduction relies on
+# actually has data, warning when a source violates it (allele-derived
+# matrices guarantee it; a future sparse source might not — hud.py:88-98
+# would then scan past the seed pair while we would contribute zero).
+DEBUG_SEED_INVARIANT = os.environ.get("IMPOP_TPU_DEBUG_INVARIANTS") == "1"
+
+
+def _warn_missing_seed_pairs(missing) -> None:
+    import warnings
+
+    n_bad = int(missing)
+    if n_bad > 0:
+        warnings.warn(
+            f"fused grouped-Hudson: {n_bad} group-seed pair(s) lack data; "
+            "seed-representative FSTG deviates from hud.py -m grouped here "
+            "— use the exact stats/fst.hudson_fst_grouped_pairs path for "
+            "this source",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
+def _seed_pair_guard(rep_a, rep_b, present) -> None:
+    """Count (within-A, within-B, cross) seed pairs without data."""
+    p_f = present.astype(jnp.float32)
+    have_ab = jnp.einsum("qn,nm,qm->q", rep_a, p_f, rep_b)
+    have_aa = jnp.einsum("qn,nm,qm->q", rep_a, p_f, rep_a)
+    have_bb = jnp.einsum("qn,nm,qm->q", rep_b, p_f, rep_b)
+    g_a = jnp.sum(rep_a, axis=1)
+    g_b = jnp.sum(rep_b, axis=1)
+    missing = (jnp.sum(g_a * g_b - have_ab)
+               + jnp.sum(g_a * g_a - have_aa)
+               + jnp.sum(g_b * g_b - have_bb))
+    jax.debug.callback(_warn_missing_seed_pairs, missing)
 
 
 class PanelStats(NamedTuple):
@@ -129,6 +167,14 @@ def fused_panel_stats(
         wgb = w_all[pq + q_count:]
         n_a = n_all[pq:pq + q_count]
         n_b = n_all[pq + q_count:]
+
+    if DEBUG_SEED_INVARIANT and q_count > 0:
+        if pairs_disjoint:
+            _seed_pair_guard(rep_f[pair_a], rep_f[pair_b], present)
+        else:
+            rep_all_f = is_rep_all.astype(jnp.float32)
+            _seed_pair_guard(rep_all_f[pq:pq + q_count],
+                             rep_all_f[pq + q_count:], present)
 
     # The reduction is LINEAR in the weight rows, so with disjoint pairs
     # (wga == w[pair_a]) the grouped-Hudson rows are exact copies of panel

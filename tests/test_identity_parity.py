@@ -146,3 +146,138 @@ def test_impg_similarity_differential(tmp_path):
                 assert abs(ours.sim[i, j] - theirs[key]) <= bound, key
                 checked += 1
     assert checked > 0
+
+
+# ---------------------------------------------------------------------------
+# Alignment-based oracle (no impg needed): a small Needleman-Wunsch aligner
+# on the RAW simulated sequences provides true alignment-column identity,
+# breaking the circularity of validating our identity formula against a
+# re-derivation of itself.  Contract approximated:
+# reference run_pica2_impg.sh:162-168 (impg similarity estimated.identity).
+
+
+def _nw_stats(a: str, b: str):
+    """Unit-cost global alignment (mismatch=1, gap=1).
+
+    Returns (matches, columns) along one optimal path (diagonal-preferring
+    traceback).  Row DP is vectorised; the in-row left-gap dependence is
+    resolved with the minimum.accumulate prefix trick.
+    """
+    n, m = len(a), len(b)
+    av = np.frombuffer(a.encode(), np.uint8)
+    bv = np.frombuffer(b.encode(), np.uint8)
+    D = np.zeros((n + 1, m + 1), np.int32)
+    D[0] = np.arange(m + 1)
+    idx = np.arange(m + 1)
+    for i in range(1, n + 1):
+        sub = D[i - 1, :-1] + (av[i - 1] != bv)
+        up = D[i - 1, 1:] + 1
+        base = np.empty(m + 1, np.int32)
+        base[0] = i
+        base[1:] = np.minimum(sub, up)
+        D[i] = np.minimum.accumulate(base - idx) + idx
+    # traceback
+    i, j = n, m
+    matches = columns = 0
+    while i > 0 or j > 0:
+        if (i > 0 and j > 0
+                and D[i, j] == D[i - 1, j - 1] + (av[i - 1] != bv[j - 1])):
+            matches += int(av[i - 1] == bv[j - 1])
+            i -= 1
+            j -= 1
+        elif i > 0 and D[i, j] == D[i - 1, j] + 1:
+            i -= 1
+        else:
+            j -= 1
+        columns += 1
+    return matches, columns
+
+
+def _read_fasta_raw(path):
+    seqs, name = {}, None
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+                seqs[name] = []
+            else:
+                seqs[name].append(line.strip())
+    return {k: "".join(v) for k, v in seqs.items()}
+
+
+def _oracle_vs_ours(tmp_path, seed, p_indel, n_snps, ref_len=1200, n_haps=6,
+                    site_pool=None):
+    from impop_tpu.extract.simulate import _revcomp
+
+    sim = simulate(str(tmp_path), ref_len=ref_len, n_haps=n_haps,
+                   n_snps=n_snps, p_indel=p_indel, seed=seed,
+                   span=(0, ref_len), site_pool=site_pool)
+    region = f"CHM13#0#chr1:0-{ref_len}"
+    ours = _identity_matrix(tmp_path, sim, region, "columns")
+    raw = _read_fasta_raw(sim.fasta_path)
+    # window-oriented sequence per matrix row (ref row = reference itself)
+    seq_of = {f"{sim.ref_name}:0-{ref_len}": sim.ref_seq}
+    for h in sim.haplotypes:
+        contig = raw[h.name.split(":", 1)[0]] if h.name in raw else raw[h.name]
+        seq_of_name = _revcomp(contig) if h.reverse else contig
+        seq_of[h.name] = seq_of_name
+    rows = []
+    for nm in ours.names:
+        stem = nm.rsplit(":", 1)[0]
+        rows.append(seq_of[stem] if stem in seq_of else seq_of[nm])
+    return sim, ours, rows
+
+
+def test_identity_matches_alignment_oracle_snp_only(tmp_path):
+    """SNP-only, shared-allele sites: columns-mode identity must EQUAL the
+    alignment oracle's matches/columns (no gaps -> columns == L)."""
+    sim, ours, rows = _oracle_vs_ours(tmp_path, seed=21, p_indel=0.0,
+                                      n_snps=0, site_pool=40)
+    L = 1200.0
+    n = len(rows)
+    checked = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not ours.present[i, j]:
+                continue
+            matches, columns = _nw_stats(rows[i], rows[j])
+            assert columns == len(rows[i]) == len(rows[j])
+            oracle = matches / columns
+            np.testing.assert_allclose(ours.sim[i, j], oracle, atol=1e-9)
+            checked += 1
+    assert checked >= 10
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_identity_within_documented_bound_of_alignment_oracle(tmp_path, seed):
+    """With planted indels: |ours - matches/columns| per pair is bounded by
+    the documented deviation budget (total indel columns in either
+    haplotype / L, doc/how_stats.md 'Identity definition and impg parity').
+    The expected values derive from alignment of raw sequences, NOT from
+    the engine's own diff formula."""
+    sim, ours, rows = _oracle_vs_ours(tmp_path, seed=seed, p_indel=0.5,
+                                      n_snps=14, ref_len=1500)
+    L = 1500.0
+    # per-haplotype ground-truth indel column budget (simulation truth,
+    # independent of the extractor)
+    budget = {f"{sim.ref_name}:0-1500": 0.0}
+    for h in sim.haplotypes:
+        cols = sum(len(s) for s in h.insertions.values())
+        cols += sum(h.deletions.values())
+        budget[h.name] = float(cols)
+    names = [nm.rsplit(":", 1)[0] if nm.rsplit(":", 1)[0] in budget else nm
+             for nm in ours.names]
+    n = len(rows)
+    checked = indels_seen = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not ours.present[i, j]:
+                continue
+            matches, columns = _nw_stats(rows[i], rows[j])
+            oracle = matches / columns
+            bound = (budget[names[i]] + budget[names[j]] + 2.0) / L
+            assert abs(ours.sim[i, j] - oracle) <= bound, (
+                names[i], names[j], ours.sim[i, j], oracle, bound)
+            indels_seen += budget[names[i]] + budget[names[j]] > 0
+            checked += 1
+    assert checked >= 10 and indels_seen >= 5

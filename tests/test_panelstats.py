@@ -135,3 +135,41 @@ def test_panelquad_pallas_matches_xla(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(yp_p), np.asarray(yp_x),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_seed_pair_invariant_guard_warns_on_missing_data(monkeypatch):
+    """The seed-representative grouped-Hudson path is bit-identical to
+    hud.py only while every group-seed pair has data (fused_panel_stats
+    docstring).  The debug guard must warn when a source violates that —
+    and stay silent when it holds."""
+    import pytest
+
+    from impop_tpu.stats import panelstats
+
+    monkeypatch.setattr(panelstats, "DEBUG_SEED_INVARIANT", True)
+    n = 16
+    member = jnp.zeros(n, bool).at[:4].set(True)
+    pmasks = jnp.zeros((2, n), bool).at[0, :2].set(True).at[1, 2:4].set(True)
+    pair_a = jnp.asarray([0], jnp.int32)
+    pair_b = jnp.asarray([1], jnp.int32)
+    # low similarities -> every haplotype is its own group (its own seed)
+    sim = jnp.full((n, n), 0.5, jnp.float32)
+    sim = sim.at[jnp.arange(n), jnp.arange(n)].set(1.0)
+    present_ok = jnp.ones((n, n), bool)
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # silence required: any warning fails
+        fused_panel_stats(sim, present_ok, member, pmasks, pair_a, pair_b,
+                          jnp.float32(0.999), pairs_disjoint=True)
+
+    # knock out the (seed 0, seed 2) cross pair
+    present_bad = present_ok.at[0, 2].set(False).at[2, 0].set(False)
+    with pytest.warns(RuntimeWarning, match="group-seed pair"):
+        fused_panel_stats(sim, present_bad, member, pmasks, pair_a, pair_b,
+                          jnp.float32(0.999), pairs_disjoint=True)
+    # the non-disjoint variant must guard the stripped-side groupings too
+    with pytest.warns(RuntimeWarning, match="group-seed pair"):
+        fused_panel_stats(sim, present_bad, member, pmasks, pair_a, pair_b,
+                          jnp.float32(0.999), pairs_disjoint=False)
