@@ -1646,6 +1646,108 @@ def cmd_sfs(args) -> int:
 # --------------------------------------------------------------- ehh
 
 
+def _ehh_from_tiles(args) -> int:
+    """EHH fed from the engine's own data path (extraction / allele tiles).
+
+    The reference prototype reads pre-built text matrices only
+    (wip/ehhgfa.py:47-69); this mode selects focal sites by GENOMIC
+    position: each ``--focal P`` picks the BED window containing P and the
+    nearest variant column inside its allele tile, then every (window,
+    allele) task runs in ONE batched device program.  Tiles are re-centred
+    host-side so all tasks share a single static focal index (and thus one
+    compiled shape).  Output row:
+    ``region focal_pos site_pos site_key allele REF|ALT carriers area``
+    (allele 0 = reference allele of the variant column).
+    """
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.ehh import ehh_area_batch
+
+    if not args.bed or not args.focal:
+        raise SystemExit("error: extraction mode needs -b and --focal "
+                         "(or pass -i for matrix mode)")
+    regions = read_bed(args.bed)
+    geno_src = GenoSource(args.geno_dir) if args.geno_dir else None
+    extractor = None
+    if geno_src is None:
+        fasta_store = _resolve_fasta(args)
+        if args.paf and fasta_store:
+            extractor = _open_extractor(args.paf, fasta_store)
+    if geno_src is None and extractor is None:
+        raise SystemExit("error: provide --geno-dir or --paf + "
+                         "--fasta/--agc")
+
+    tasks = []
+    for fp in args.focal:
+        reg = next((r for r in regions if r.start <= fp < r.end), None)
+        if reg is None:
+            _warn(f"Warning: no BED window contains focal {fp}; skipping")
+            continue
+        tasks.append((reg, reg.region_string(args.prefix), fp))
+
+    tiles, kept = [], []
+    for reg, rs, fp in tasks:
+        try:
+            if geno_src is not None:
+                g, names, keys = geno_src.load(rs)
+                if keys is None:
+                    raise WindowError("allele tile has no site_keys — "
+                                      "positions unavailable")
+                pos = np.asarray([int(k.split(":", 1)[0]) for k in keys])
+            else:
+                wm = extractor.extract(rs.rsplit(":", 1)[0],
+                                      reg.start, reg.end)
+                g, pos, keys = wm.geno, np.asarray(wm.site_pos), wm.site_keys
+        except Exception as e:
+            _warn(f"Warning: skipping focal {fp} ({rs}): {e}")
+            continue
+        if len(pos) == 0:
+            _warn(f"Warning: no variants in {rs}; skipping focal {fp}")
+            continue
+        fi = int(np.argmin(np.abs(pos - fp)))
+        kept.append((rs, fp, int(pos[fi]), keys[fi]))
+        # alt carrier = 1; reference call and uncovered both binarise to 0
+        # (the prototype binarises every entry, ehhgfa.py:51)
+        tiles.append(((np.asarray(g) == 1).astype(np.int8), fi))
+    out = _out_stream(args.output)
+    try:
+        if kept:
+            center = max(fi for _, fi in tiles)
+            max_right = max(t.shape[1] - fi - 1 for t, fi in tiles)
+            cap_s = center + 1 + max_right
+            n_cap = max(t.shape[0] for t, _ in tiles)
+            w = len(tiles)
+            geno = np.zeros((w, n_cap, cap_s), np.int8)
+            smask = np.zeros((w, cap_s), bool)
+            member = np.zeros((w, n_cap), bool)
+            for row, (t, fi) in enumerate(tiles):
+                n, s = t.shape
+                lo = center - fi
+                geno[row, :n, lo:lo + s] = t
+                smask[row, lo:lo + s] = True
+                member[row, :n] = True
+            alleles = jnp.asarray([0, 1], jnp.int32)
+            area, carriers = ehh_area_batch(
+                jnp.asarray(geno), jnp.asarray(member), jnp.asarray(smask),
+                center, alleles,
+                compat_right_for_left=bool(args.compat_ehhgfa),
+            )
+            area = np.asarray(area)
+            carriers = np.asarray(carriers)
+            for row, (rs, fp, used_pos, key) in enumerate(kept):
+                for ai, al in enumerate((0, 1)):
+                    if carriers[row, ai] == 0:
+                        continue
+                    typeal = "REF" if al == 0 else "ALT"
+                    print(rs, fp, used_pos, key, al, typeal,
+                          int(carriers[row, ai]), float(area[row, ai]),
+                          file=out, flush=True)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_ehh(args) -> int:
     """EHH decay around a focal SNP — the capability of wip/ehhgfa.py.
 
@@ -1668,6 +1770,10 @@ def cmd_ehh(args) -> int:
 
     from impop_tpu.stats.ehh import ehh_area_batch
 
+    if not args.input:
+        return _ehh_from_tiles(args)
+    if args.position is None or args.window is None:
+        raise SystemExit("error: matrix mode needs -i, -p and -w")
     whole = np.loadtxt(args.input)
     if whole.ndim == 1:
         whole = whole[None, :]
@@ -2244,13 +2350,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(func=cmd_scan)
 
     p = sub.add_parser("ehh", help="EHH decay around a focal SNP (ehhgfa)")
-    p.add_argument("-i", "--input", required=True,
-                   help="haplotype matrix file (whitespace, no header)")
-    p.add_argument("-p", "--position", type=int, required=True,
-                   help="1-based focal SNP position within the window")
-    p.add_argument("-w", "--window", type=int, required=True)
+    p.add_argument("-i", "--input",
+                   help="haplotype matrix file (whitespace, no header); "
+                        "omit to feed from the engine's data path "
+                        "(--geno-dir or --paf) with -b + --focal")
+    p.add_argument("-p", "--position", type=int,
+                   help="1-based focal SNP position within the window "
+                        "(matrix mode)")
+    p.add_argument("-w", "--window", type=int,
+                   help="window width in sites (matrix mode)")
     p.add_argument("--refpos", type=int, default=1,
-                   help="1-based reference haplotype row")
+                   help="1-based reference haplotype row (matrix mode)")
+    p.add_argument("-b", "--bed", help="window BED (extraction mode)")
+    p.add_argument("-P", "--prefix", default="CHM13#0#")
+    p.add_argument("--geno-dir",
+                   help="directory of per-window allele tiles (.npz)")
+    p.add_argument("--paf")
+    p.add_argument("--fasta")
+    p.add_argument("--agc", help="AGC archive (one-time cached conversion)")
+    p.add_argument("--agc-bin", default="agc")
+    p.add_argument("--focal", type=int, action="append",
+                   help="genomic focal position (repeatable; extraction "
+                        "mode picks the window containing it and the "
+                        "nearest variant column)")
     p.add_argument("-o", "--output")
     p.add_argument("--compat-ehhgfa", action="store_true",
                    help="reproduce wip/ehhgfa.py's use of the right half "

@@ -89,6 +89,106 @@ def _kernel(xi_ref, xj_ref, w_ref, mi_ref, mj_ref, len_ref,
         pres_ref[:] = (present | diag).astype(jnp.int8)
 
 
+def _kernel_i8(zi_ref, zj_ref, vi_ref, vj_ref, mi_ref, mj_ref, len_ref,
+               sim_ref, pres_ref, acc_zz, acc_vv):
+    """Unit-weight tile: two INT8 MXU Gram matmuls, no in-kernel prep.
+
+    With z = +1 (valid alt), -1 (valid ref), 0 (invalid) and v = validity,
+    z·zᵀ counts (agreements − differences) over mutually-valid sites and
+    v·vᵀ counts comparisons, so diff = (v·vᵀ − z·zᵀ)/2 exactly (integer
+    math; int8 operands run the MXU at twice the bf16 rate and the three
+    f32-prep matmuls of the weighted kernel collapse to two)."""
+    s_idx = pl.program_id(2)
+    n_s = pl.num_programs(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        acc_zz[:] = jnp.zeros_like(acc_zz)
+        acc_vv[:] = jnp.zeros_like(acc_vv)
+
+    acc_zz[:] += jax.lax.dot_general(
+        zi_ref[:], zj_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_vv[:] += jax.lax.dot_general(
+        vi_ref[:], vj_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(s_idx == n_s - 1)
+    def _():
+        mi = mi_ref[0, :]
+        mj = mj_ref[0, :]
+        length = len_ref[0, 0]
+        cmp_ = acc_vv[:].astype(jnp.float32)
+        diff = (cmp_ - acc_zz[:].astype(jnp.float32)) * 0.5
+        present = (acc_vv[:] > 0) & (mi[:, None] > 0) & (mj[None, :] > 0)
+        sim = jnp.where(present, 1.0 - diff / jnp.maximum(length, 1.0), 0.0)
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        block = sim.shape[0]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0) + ti * block
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) + tj * block
+        diag = (row_ids == col_ids) & (mi[:, None] > 0)
+        sim_ref[:] = jnp.where(diag, 1.0, sim)
+        pres_ref[:] = (present | diag).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_s"))
+def _pairwise_identity_pallas_i8(geno, member, site_mask, length,
+                                 tile_n, tile_s):
+    n, s = geno.shape
+    geno = jnp.where(site_mask[None, :], geno, jnp.int8(-1))
+    # operand prep ONCE in XLA (one fused elementwise pass over [N, S])
+    # instead of per output tile inside the kernel: the old kernel rebuilt
+    # f32 operands N/tile_n times each and the VPU prep throttled the MXU
+    v = (geno >= 0).astype(jnp.int8)
+    m = jnp.maximum(geno, 0).astype(jnp.int8)
+    z = (m + m - v).astype(jnp.int8)   # +1 alt / -1 ref / 0 invalid
+    member_f = member.astype(jnp.float32)[None, :]
+    length_v = jnp.asarray(length, jnp.float32).reshape(1, 1)
+
+    grid = (n // tile_n, n // tile_n, s // tile_s)
+    sim, pres = pl.pallas_call(
+        _kernel_i8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, tile_s), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_s), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_s), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_s), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, k: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, tile_n), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_n), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, n), jnp.int8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_n, tile_n), jnp.int32),
+            pltpu.VMEM((tile_n, tile_n), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * n * s,
+            bytes_accessed=4 * n * s + 5 * n * n,
+            transcendentals=0,
+        ),
+    )(z, z, v, v, member_f, member_f, length_v)
+    return sim, pres.astype(bool)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_s"))
 def pairwise_identity_pallas(
     geno: jnp.ndarray,
@@ -116,6 +216,10 @@ def pairwise_identity_pallas(
     tile_n = min(tile_n, n)
     tile_s = min(tile_s, s)
     assert n % tile_n == 0 and s % tile_s == 0
+
+    if site_weights is None:
+        return _pairwise_identity_pallas_i8(geno, member, site_mask, length,
+                                            tile_n, tile_s)
 
     # invalid sites are already -1; apply the site mask once on the way in
     geno = jnp.where(site_mask[None, :], geno, jnp.int8(-1))

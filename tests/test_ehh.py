@@ -143,3 +143,48 @@ def test_ehh_decay_from_focal(rng):
         np.testing.assert_allclose(got, want_curve, atol=1e-6)
         np.testing.assert_allclose(float(res.area), want_curve.sum(), rtol=1e-5)
     assert int(res.carriers) == len(sub)
+
+
+def test_ehh_cli_from_extraction_path(tmp_path):
+    """`ehh --paf --fasta -b … --focal P` (no text matrix): focal sites are
+    selected by genomic position from the engine's own extracted allele
+    tiles, and the areas match the reference's loop semantics
+    (wip/ehhgfa.py:47-69) computed on the same tile."""
+    from impop_tpu.cli import main
+    from impop_tpu.extract import NativeExtractor
+    from impop_tpu.extract.simulate import simulate
+
+    sim = simulate(str(tmp_path), ref_len=4000, n_haps=12, seed=17,
+                   site_pool=30, span=(0, 4000))
+    bed = tmp_path / "w.bed"
+    bed.write_text("chr1\t0\t2000\nchr1\t2000\t4000\n")
+
+    ex = NativeExtractor(sim.paf_path, sim.fasta_path)
+    wm = ex.extract(sim.ref_name, 0, 2000)
+    h = (np.asarray(wm.geno) == 1).astype(np.int8)
+    # a focal site where both alleles have >=2 carriers
+    counts = h.sum(0)
+    fi = int(np.argmax((counts >= 2) & (counts <= h.shape[0] - 2)))
+    assert counts[fi] >= 2
+    focal_pos = int(wm.site_pos[fi])
+
+    out = tmp_path / "ehh.tsv"
+    main(["ehh", "--paf", sim.paf_path, "--fasta", sim.fasta_path,
+          "-b", str(bed), "-P", "CHM13#0#", "--focal", str(focal_pos),
+          "-o", str(out)])
+    lines = [l.split() for l in out.read_text().splitlines() if l]
+    assert len(lines) == 2  # both alleles carried
+    for parts in lines:
+        region, fp, used_pos, key, al, typeal, carriers, area = parts
+        assert region == "CHM13#0#chr1:0-2000"
+        assert int(fp) == int(used_pos) == focal_pos
+        assert typeal == ("REF" if al == "0" else "ALT")
+        sel = h[:, fi] == int(al)
+        assert int(carriers) == int(sel.sum())
+        left = h[sel][:, :fi][:, ::-1]
+        right = h[sel][:, fi + 1:]
+        want = 0.0
+        for half in (left, right):
+            if half.shape[1]:
+                want += float(np.sum(oracle_ehh(half)))
+        np.testing.assert_allclose(float(area), want, atol=1e-4)
