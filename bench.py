@@ -150,11 +150,14 @@ def bench_device(step, batch, iters=ITERS):
     return windows_per_sec, out
 
 
-def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192):
-    """Long-window regime: fused Pallas identity + S on [n, s] tiles.
+def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192, wbatch=8):
+    """Long-window regime: fused int8-MXU identity + S on [n, s] tiles.
 
     s=8192 variant sites ≈ 500 kb of HPRC-density variation — 50-100x the
-    reference's 10 kb window cap, in one device pass."""
+    reference's 10 kb window cap.  ``wbatch`` windows run per dispatch
+    (vmap), matching how the scan feeds the device — a single [512, 8192]
+    window is ~20 µs of MXU work, far below the remote tunnel's ~1.5 ms
+    dispatch floor, so per-window dispatches measure the tunnel."""
     import jax
     import jax.numpy as jnp
 
@@ -162,17 +165,20 @@ def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192):
 
     rng = np.random.default_rng(7)
     classes = rng.integers(0, 2, size=(16, s)).astype(np.int8)
-    g = classes[rng.integers(0, 16, size=n)]
-    g = np.where(rng.random((n, s)) < 0.001, 1 - g, g).astype(np.int8)
-    g[N_HAP:] = -1
-    member = np.zeros(n, bool); member[:N_HAP] = True
-    smask = np.ones(s, bool)
+    g = classes[rng.integers(0, 16, size=(wbatch, n))]
+    g = np.where(rng.random((wbatch, n, s)) < 0.001, 1 - g, g).astype(np.int8)
+    g[:, N_HAP:] = -1
+    member = np.zeros((wbatch, n), bool); member[:, :N_HAP] = True
+    smask = np.ones((wbatch, s), bool)
     length = jnp.float32(500000.0)
 
     @jax.jit
     def step(g, m, sm):
-        sim, present = identity_from_alleles(g, m, sm, length)
-        return jnp.sum(sim), segregating_sites(g, m, sm)
+        def one(g1, m1, sm1):
+            sim, present = identity_from_alleles(g1, m1, sm1, length)
+            return jnp.sum(sim), segregating_sites(g1, m1, sm1)
+
+        return jax.vmap(one)(g, m, sm)
 
     g_d = jax.device_put(jnp.asarray(g))
     m_d = jax.device_put(jnp.asarray(member))
@@ -184,7 +190,7 @@ def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192):
         out = step(g_d, m_d, sm_d)
     _ = np.asarray(out[0])
     dt = time.perf_counter() - t0
-    per_win = dt / iters
+    per_win = dt / (iters * wbatch)
     gcells = n * n * s / 1e9
     # achieved FLOP rate at the kernel's own cost model (6 flops/cell,
     # ops/pairdiff.py) against the chip's bf16 peak, so the artifact shows
@@ -193,8 +199,8 @@ def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192):
     peak_tflops = float(os.environ.get("IMPOP_BENCH_PEAK_TFLOPS", 197.0))
     tflops = gcells * flops_per_cell / per_win / 1e3
     return {
-        "n": n, "s": s,
-        "windows_per_sec": round(iters / dt, 3),
+        "n": n, "s": s, "wbatch": wbatch,
+        "windows_per_sec": round(iters * wbatch / dt, 3),
         "gcells_per_sec": round(gcells / per_win, 2),
         "tflops": round(tflops, 2),
         "mfu_pct": round(100.0 * tflops / peak_tflops, 2),

@@ -1100,9 +1100,15 @@ def cmd_scan(args) -> int:
     with_pairs = bool(pair_list)
 
     def make_one_window(pairs_disjoint: bool):
-      def one_window(g, m, smask, panels1, length, wts):
+      def one_window(gp, m, smask, panels1, length, wts):
         from impop_tpu.stats.allele import panel_afs
 
+        # unpack the 2-bit site codes (see _pack_geno_2bit): one fused
+        # elementwise pass on device instead of shipping 4x the bytes
+        # through the host->device tunnel
+        shifts = jnp.asarray([0, 2, 4, 6], jnp.uint8)
+        codes = (gp[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+        g = codes.reshape(gp.shape[0], -1).astype(jnp.int8) - 1
         sim, present = identity_from_alleles(
             g, m, smask, length,
             site_weights=wts if use_weights else None,
@@ -1186,7 +1192,22 @@ def cmd_scan(args) -> int:
             _steps[pairs_disjoint] = jax.jit(fn)
         return _steps[pairs_disjoint]
 
+    def _pack_geno_2bit(geno):
+        """[W, N, S] int8 {-1,0,1} -> [W, N, S/4] uint8 (code = allele+1,
+        4 sites/byte, LSB-first).  The geno tile is ~97% of the batch's
+        H2D bytes and the tunnel moves ~100 MB/s, so shipping 2-bit codes
+        cuts the per-batch transfer 4x; the device unpacks in one fused
+        elementwise op inside the step program."""
+        codes = (geno.astype(np.int16) + 1)
+        if codes.max(initial=0) > 2:
+            raise SystemExit("error: scan is biallelic (allele codes 0/1); "
+                             "got a code > 1 in the allele tiles")
+        codes = codes.astype(np.uint8).reshape(*geno.shape[:-1], -1, 4)
+        return (codes[..., 0] | (codes[..., 1] << 2)
+                | (codes[..., 2] << 4) | (codes[..., 3] << 6))
+
     def put_batch(arrays):
+        arrays = (_pack_geno_2bit(arrays[0]),) + tuple(arrays[1:])
         if mesh is None:
             return tuple(jax.device_put(a) for a in arrays)
         w = arrays[0].shape[0]
@@ -2061,6 +2082,16 @@ def cmd_import_agc(args) -> int:
     out = args.output or (args.archive + ".impop.fa.gz")
     convert_agc(args.archive, out, samples=samples, agc_bin=args.agc_bin,
                 prefix_sample=args.prefix_sample)
+    if args.verify:
+        if args.prefix_sample:
+            raise SystemExit("error: --verify compares original record "
+                             "names; rerun without --prefix-sample")
+        from impop_tpu.extract.agc import verify_store
+
+        n_checked = verify_store(args.archive, out, agc_bin=args.agc_bin,
+                                 samples=samples)
+        _warn(f"verified {n_checked} sequences against the archive "
+              "(md5 round-trip)")
     if args.index:
         # force .fai/.gzi creation now (otherwise built on first use)
         try:
@@ -2445,6 +2476,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="list assemblies in the archive and exit")
     p.add_argument("--index", action="store_true",
                    help="build the .fai/.gzi indexes immediately")
+    p.add_argument("--verify", action="store_true",
+                   help="after converting, stream every sample back out of "
+                        "the archive and md5-compare each sequence against "
+                        "the store (checksum round-trip)")
     p.set_defaults(func=cmd_import_agc)
 
     p = sub.add_parser("makewindows", help="fixed-width windows from a region")

@@ -135,6 +135,69 @@ def convert_agc(
     return out_path
 
 
+def _iter_fasta_md5(stream):
+    """Yield (record name, md5 of case-normalised sequence bytes)."""
+    import hashlib
+
+    name, h = None, None
+    for line in stream:
+        if line.startswith(b">"):
+            if name is not None:
+                yield name, h.hexdigest()
+            name = line[1:].split()[0].decode()
+            h = hashlib.md5()
+        elif name is not None:
+            h.update(line.strip().upper())
+    if name is not None:
+        yield name, h.hexdigest()
+
+
+def verify_store(archive: str, store_path: str, agc_bin: str = "agc",
+                 samples: Optional[Sequence[str]] = None,
+                 quiet: bool = False) -> int:
+    """Checksum round-trip of a converted store against the archive.
+
+    Streams every sample back out of the AGC archive and checks that each
+    sequence exists in the BGZF store with identical (case-normalised)
+    bytes — the one-command validation a user with the real HPRC archive
+    runs after ``import-agc`` (reference doc/where_hprc_data.md:14-26 is
+    the substrate being converted).  Returns the number of sequences
+    checked; raises RuntimeError listing the first mismatches.
+    """
+    import gzip
+
+    _require_agc(agc_bin)
+    store = {}
+    with gzip.open(store_path, "rb") as fh:
+        for name, digest in _iter_fasta_md5(fh):
+            store[name] = digest
+    names = (list(samples) if samples is not None
+             else list_samples(archive, agc_bin))
+    checked = 0
+    mismatches: List[str] = []
+    for i, sample in enumerate(names):
+        if not quiet:
+            print(f"[verify-agc] {i + 1}/{len(names)} {sample}",
+                  file=sys.stderr)
+        proc = subprocess.Popen([agc_bin, "getset", archive, sample],
+                                stdout=subprocess.PIPE)
+        assert proc.stdout is not None
+        for name, digest in _iter_fasta_md5(proc.stdout):
+            if store.get(name) != digest:
+                mismatches.append(name)
+            checked += 1
+        if proc.wait() != 0:
+            raise RuntimeError(f"agc getset {sample} failed")
+    if mismatches:
+        raise RuntimeError(
+            f"store does not match archive: {len(mismatches)} sequence(s) "
+            f"differ or are missing (first: {mismatches[:5]})"
+        )
+    if checked == 0:
+        raise RuntimeError("archive produced no sequences to verify")
+    return checked
+
+
 def ensure_fasta_store(archive: str, agc_bin: str = "agc",
                        quiet: bool = False) -> str:
     """Cached conversion: ``<archive>.impop.fa.gz`` next to the archive

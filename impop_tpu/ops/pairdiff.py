@@ -218,8 +218,12 @@ def pairwise_identity_pallas(
     assert n % tile_n == 0 and s % tile_s == 0
 
     if site_weights is None:
-        return _pairwise_identity_pallas_i8(geno, member, site_mask, length,
-                                            tile_n, tile_s)
+        # The Pallas int8 kernel (`_pairwise_identity_pallas_i8`) wedges
+        # the remote Mosaic compile on this backend (two hangs >10 min);
+        # XLA's own int8 dot path lowers the identical math reliably
+        # (tools/bench_pairwise.py holds the A/B numbers).  Revisit when
+        # Mosaic int8 matmul support lands.
+        return pairwise_identity_xla_i8(geno, member, site_mask, length)
 
     # invalid sites are already -1; apply the site mask once on the way in
     geno = jnp.where(site_mask[None, :], geno, jnp.int8(-1))
@@ -273,6 +277,28 @@ def pairwise_identity_pallas(
         ),
     )(geno, geno, w, member_f, member_f, length_v)
     return sim, pres.astype(bool)
+
+
+@jax.jit
+def pairwise_identity_xla_i8(geno, member, site_mask, length):
+    """Pure-XLA int8 MXU formulation (A/B alternative to the Pallas i8
+    kernel): same z/v operands and (v·vᵀ − z·zᵀ)/2 identity, lowered by
+    XLA's own int8 dot path.  Two [N, S] int8 reads + two int32 [N, N]
+    products; exact integer math."""
+    geno = jnp.where(site_mask[None, :], geno, jnp.int8(-1))
+    v = (geno >= 0).astype(jnp.int8)
+    m = jnp.maximum(geno, 0).astype(jnp.int8)
+    z = (m + m - v).astype(jnp.int8)
+    dims = (((1,), (1,)), ((), ()))
+    zz = jax.lax.dot_general(z, z, dims, preferred_element_type=jnp.int32)
+    vv = jax.lax.dot_general(v, v, dims, preferred_element_type=jnp.int32)
+    diff = (vv - zz).astype(jnp.float32) * 0.5
+    present = (vv > 0) & member[:, None] & member[None, :]
+    length = jnp.asarray(length, jnp.float32)
+    sim = jnp.where(present, 1.0 - diff / jnp.maximum(length, 1.0), 0.0)
+    eye = jnp.eye(member.shape[0], dtype=bool)
+    diag = eye & member[:, None]
+    return jnp.where(diag, 1.0, sim), present | diag
 
 
 def pairwise_identity_xla(geno, member, site_mask, length):

@@ -125,3 +125,29 @@ def test_pi_with_agc_matches_fasta_path(fake_agc, tmp_path):
           "--fasta", sim.fasta_path, "-P", "CHM13#0#", "-t", "0.999",
           "-o", str(out_b)])
     assert out_a.read_text() == out_b.read_text()
+
+
+def test_import_agc_verify_roundtrip(fake_agc, tmp_path):
+    """--verify md5-compares every sequence the archive emits against the
+    converted store, and fails loudly when the store is corrupted."""
+    sim, archive = fake_agc
+    out = tmp_path / "store_v.fa.gz"
+    main(["import-agc", str(archive), "-o", str(out), "--verify"])
+
+    # corrupt one sequence in the store: rewrite with a flipped base
+    import gzip as _gz
+
+    from impop_tpu.io.bgzf import BgzfWriter
+
+    text = _gz.open(out, "rt").read().splitlines()
+    for i, line in enumerate(text):
+        if not line.startswith(">") and line:
+            text[i] = ("A" if line[0] != "A" else "C") + line[1:]
+            break
+    with open(out, "wb") as fh, BgzfWriter(fh) as bw:
+        bw.write(("\n".join(text) + "\n").encode())
+
+    from impop_tpu.extract.agc import verify_store
+
+    with pytest.raises(RuntimeError, match="differ"):
+        verify_store(str(archive), str(out))
