@@ -334,3 +334,18 @@ def test_cli_hfst_pair_shard_matches_replicated(tmp_path, rng):
         np.testing.assert_allclose([float(x) for x in r_row[2:]],
                                    [float(x) for x in s_row[2:]],
                                    rtol=2e-4, atol=2e-7)
+
+
+def test_cli_scan_rejects_multiallelic_codes(tmp_path, rng):
+    """The fused scan is biallelic; the 2-bit H2D pack must reject allele
+    codes > 1 loudly instead of silently corrupting them."""
+    genodir = tmp_path / "genodir"
+    genodir.mkdir()
+    geno = np.zeros((4, 8), np.int8)
+    geno[0, 0] = 2  # multi-allelic code
+    names = np.asarray([f"h{i}#1#c{i}" for i in range(4)])
+    np.savez(genodir / "chr1:0-1000.npz", geno=geno, names=names)
+    (tmp_path / "w.bed").write_text("chr1\t0\t1000\n")
+    with pytest.raises(SystemExit, match="biallelic"):
+        main(["scan", "-b", str(tmp_path / "w.bed"), "-P", "",
+              "--geno-dir", str(genodir), "-o", str(tmp_path / "o.tsv")])
