@@ -519,6 +519,10 @@ def _run_hudson_pair_sharded(args, force: bool) -> Optional[int]:
     if not force and max_n < 1024:
         return None
 
+    if getattr(args, "round", None) is not None:
+        _warn("Warning: --pair-shard computes masked pair sums without "
+              "materialising per-pair similarities, so -r rounding does "
+              "not apply (use the replicated path for -r parity)")
     n_dev = len(jax.local_devices())
     mesh = make_mesh(data=n_dev)
     pair_fn = pair_sharded_direct_stats(mesh)

@@ -21,6 +21,7 @@ finalisation on the last S-step.  Biallelic (0/1, -1 missing) codes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -217,12 +218,12 @@ def pairwise_identity_pallas(
     tile_s = min(tile_s, s)
     assert n % tile_n == 0 and s % tile_s == 0
 
-    if site_weights is None:
-        # The Pallas int8 kernel (`_pairwise_identity_pallas_i8`) wedges
-        # the remote Mosaic compile on this backend (two hangs >10 min);
-        # XLA's own int8 dot path lowers the identical math reliably
-        # (tools/bench_pairwise.py holds the A/B numbers).  Revisit when
-        # Mosaic int8 matmul support lands.
+    if site_weights is None and os.environ.get("IMPOP_TPU_I8_IDENTITY") == "1":
+        # int8 formulation (two int8 Gram matmuls, exact): OPT-IN — on this
+        # backend every program containing an int8 dot, Pallas OR plain
+        # XLA, wedges the remote compile service indefinitely (four
+        # independent hangs >10 min).  tools/bench_pairwise.py is the A/B
+        # harness for backends whose compiler handles int8 matmuls.
         return pairwise_identity_xla_i8(geno, member, site_mask, length)
 
     # invalid sites are already -1; apply the site mask once on the way in

@@ -23,6 +23,7 @@ f32 matmul.  Multiallelic codes use Σ_a X_a X_aᵀ over one-hot slices.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -136,6 +137,20 @@ def identity_from_alleles(
     "Identity definition and impg parity").
     """
     n_cap, s_cap = geno.shape
+    # An int8-MXU formulation exists (ops/pairdiff.pairwise_identity_xla_i8
+    # and the Pallas _kernel_i8: two int8 Gram matmuls on z in {-1,0,1} /
+    # v in {0,1}, exact integer math at double MXU rate) but is DISABLED:
+    # on this backend every program containing an int8 dot — Pallas or
+    # plain XLA — wedges the remote compile service indefinitely (four
+    # independent hangs >10 min; f32 variants of the same programs compile
+    # in minutes).  Opt in with IMPOP_TPU_I8_IDENTITY=1 on backends whose
+    # compiler handles int8 matmuls.
+    if num_alleles == 2 and site_weights is None \
+            and jax.default_backend() not in ("cpu",) \
+            and os.environ.get("IMPOP_TPU_I8_IDENTITY") == "1":
+        from impop_tpu.ops.pairdiff import pairwise_identity_xla_i8
+
+        return pairwise_identity_xla_i8(geno, member, site_mask, length)
     # Long biallelic windows use the fused Pallas kernel: the XLA path
     # materialises three [N, S] f32 operands in HBM before its matmuls,
     # which dominates once S reaches the thousands (the site-streaming

@@ -349,3 +349,36 @@ def test_cli_scan_rejects_multiallelic_codes(tmp_path, rng):
     with pytest.raises(SystemExit, match="biallelic"):
         main(["scan", "-b", str(tmp_path / "w.bed"), "-P", "",
               "--geno-dir", str(genodir), "-o", str(tmp_path / "o.tsv")])
+
+
+def test_cli_hfst_pair_shard_auto_falls_back_below_threshold(tmp_path, rng,
+                                                             monkeypatch):
+    """--pair-shard auto must use the replicated path for small N (the
+    sharding threshold is 1024 haplotypes) — pinned by spying on the
+    sharded runner's decision."""
+    from impop_tpu import cli as cli_mod
+
+    genodir = tmp_path / "genodir"
+    genodir.mkdir()
+    geno = rng.integers(0, 2, size=(10, 12)).astype(np.int8)
+    names = np.asarray([f"h{i:02d}#1#c{i}" for i in range(10)])
+    np.savez(genodir / "chr1:0-1000.npz", geno=geno, names=names)
+    (tmp_path / "w.bed").write_text("chr1\t0\t1000\n")
+    (tmp_path / "A.txt").write_text("\n".join(f"h{i:02d}" for i in range(5)))
+    (tmp_path / "B.txt").write_text(
+        "\n".join(f"h{i:02d}" for i in range(5, 10)))
+    calls = {}
+    orig = cli_mod._run_hudson_pair_sharded
+    def spy(args, force):
+        calls["force"] = force
+        out = orig(args, force)
+        calls["result"] = out
+        return out
+    monkeypatch.setattr(cli_mod, "_run_hudson_pair_sharded", spy)
+    main(["hfst", "-b", str(tmp_path / "w.bed"), "-P", "",
+          "--geno-dir", str(genodir),
+          "-A", str(tmp_path / "A.txt"), "-B", str(tmp_path / "B.txt"),
+          "-o", str(tmp_path / "o.tsv")])
+    # auto consulted the sharded runner (8 CPU devices) but fell back
+    assert calls == {"force": False, "result": None}
+    assert len((tmp_path / "o.tsv").read_text().splitlines()) == 2
