@@ -1202,13 +1202,18 @@ def cmd_scan(args) -> int:
         H2D bytes and the tunnel moves ~100 MB/s, so shipping 2-bit codes
         cuts the per-batch transfer 4x; the device unpacks in one fused
         elementwise op inside the step program."""
-        codes = (geno.astype(np.int16) + 1)
-        if codes.max(initial=0) > 2:
+        if geno.max(initial=-1) > 1:
             raise SystemExit("error: scan is biallelic (allele codes 0/1); "
                              "got a code > 1 in the allele tiles")
-        codes = codes.astype(np.uint8).reshape(*geno.shape[:-1], -1, 4)
-        return (codes[..., 0] | (codes[..., 1] << 2)
-                | (codes[..., 2] << 4) | (codes[..., 3] << 6))
+        # uint8 view + wrapping add: -1 -> 255 -> 0, 0 -> 1, 1 -> 2 (no
+        # widening temp; this runs per batch on the prefetch thread)
+        codes = np.ascontiguousarray(geno).view(np.uint8) + np.uint8(1)
+        c = codes.reshape(*geno.shape[:-1], -1, 4)
+        out = c[..., 0].copy()
+        out |= c[..., 1] << 2
+        out |= c[..., 2] << 4
+        out |= c[..., 3] << 6
+        return out
 
     def put_batch(arrays):
         arrays = (_pack_geno_2bit(arrays[0]),) + tuple(arrays[1:])
