@@ -1443,32 +1443,24 @@ def cmd_scan(args) -> int:
 
         _top_up()
         n_done = n_failed = 0
-        while inflight:
-            with timers.stage("wait_input"):
-                dev_args, kept, failures, disjoint = inflight.popleft().result()
-            _top_up()
-            for rs, err in failures:
-                _warn(f"Warning: {rs}: {err}; recording NA")
-                journal.record_failure(rs, err)
-                n_failed += 1
-            if dev_args is None:
-                continue
+        pending_out = None  # dispatched-but-unfetched (out_dev, kept)
+
+        def _drain_batch(out_dev, kept):
+            nonlocal n_done
             with timers.stage("device"):
-                out_dev = step_for(disjoint)(*dev_args)
                 # the device-to-host fetch IS the barrier: through the
                 # remote-TPU tunnel block_until_ready can return before
                 # execution finishes (CLAUDE.md), which would silently move
                 # compile+execute time out of this stage
                 packed = np.asarray(out_dev)
-                pi_v = packed[:, _o_pi:_o_d]
-                d_v = packed[:, _o_d:_o_fst]
-                fst_v = packed[:, _o_fst:_o_fstg]
-                fstg_v = packed[:, _o_fstg:_o_f3]
-                f3_v = packed[:, _o_f3:_o_s]
-                s_v = packed[:, _o_s]
-                n_v = packed[:, _o_n]
-                afs_v = packed[:, _o_afs:].reshape(
-                    packed.shape[0], p_count, -1)
+            pi_v = packed[:, _o_pi:_o_d]
+            d_v = packed[:, _o_d:_o_fst]
+            fst_v = packed[:, _o_fst:_o_fstg]
+            fstg_v = packed[:, _o_fstg:_o_f3]
+            f3_v = packed[:, _o_f3:_o_s]
+            s_v = packed[:, _o_s]
+            n_v = packed[:, _o_n]
+            afs_v = packed[:, _o_afs:].reshape(packed.shape[0], p_count, -1)
             timers.add_windows(len(kept))
             for wi, (reg, rs) in enumerate(kept):
                 cells = [rs, str(reg.length), str(int(n_v[wi])),
@@ -1527,6 +1519,30 @@ def cmd_scan(args) -> int:
                 journal.record(rs, rec)
                 print(row, file=out)
                 n_done += 1
+
+        # software-pipelined consume: dispatch batch k+1 BEFORE fetching
+        # batch k's packed outputs, so the device computes k+1 while the
+        # host drains + emits k (dispatch is async; the fetch in
+        # _drain_batch is the real barrier).  The first dispatch carries
+        # the jit compile and stays in the device stage's sample stream
+        # (bench.py's steady-state heuristic keys off it).
+        while inflight:
+            with timers.stage("wait_input"):
+                dev_args, kept, failures, disjoint = inflight.popleft().result()
+            _top_up()
+            for rs, err in failures:
+                _warn(f"Warning: {rs}: {err}; recording NA")
+                journal.record_failure(rs, err)
+                n_failed += 1
+            if dev_args is None:
+                continue
+            with timers.stage("device"):
+                out_dev = step_for(disjoint)(*dev_args)
+            if pending_out is not None:
+                _drain_batch(*pending_out)
+            pending_out = (out_dev, kept)
+        if pending_out is not None:
+            _drain_batch(*pending_out)
         pool.shutdown(wait=False)
         trace_ctx.__exit__(None, None, None)
         _print_counters(n_done, n_failed)
