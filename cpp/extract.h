@@ -63,6 +63,39 @@ class FastaReader {
       return data_[pos / line_bases_ * line_bytes_ + pos % line_bases_];
     }
 
+    // Amortised-O(1) sequential access: at() pays two 64-bit divisions per
+    // base, which dominated the range walk's SNP emissions (one query-base
+    // read per mismatch per record).  A cursor tracks (byte ptr, column)
+    // and moves by the position delta; walks touch bases in monotone order
+    // (either direction), so the line-boundary loops amortise to
+    // O(span / line_bases) per record instead of O(divs per base).
+    class Cursor {
+     public:
+      Cursor() = default;
+      explicit Cursor(const BaseView& v)
+          : data_(v.data_), len_(v.len_), lb_(v.line_bases_),
+            extra_(v.line_bytes_ - v.line_bases_), p_(v.data_) {}
+      char get(int64_t pos) {
+        if (pos < 0 || pos >= len_) return 'N';
+        const int64_t d = pos - cur_;
+        cur_ = pos;
+        col_ += d;
+        p_ += d;
+        while (col_ >= lb_) { col_ -= lb_; p_ += extra_; }
+        while (col_ < 0) { col_ += lb_; p_ -= extra_; }
+        return *p_;
+      }
+
+     private:
+      const char* data_ = nullptr;
+      int64_t len_ = 0;
+      int64_t lb_ = 1;
+      int64_t extra_ = 0;
+      int64_t cur_ = 0;
+      int64_t col_ = 0;
+      const char* p_ = nullptr;
+    };
+
    private:
     friend class FastaReader;
     const char* data_ = nullptr;  // first base of the sequence

@@ -25,6 +25,8 @@
 #include <cstring>
 #include <stdexcept>
 #include <thread>
+#include <chrono>
+#include <cstdio>
 
 namespace impop {
 
@@ -194,13 +196,17 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
       }
     }
   }
+  // walks touch query bases in monotone order (ascending for forward
+  // records, descending original coordinates for reverse ones), so a
+  // divisionless cursor replaces BaseView::at's two divisions per base
+  FastaReader::BaseView::Cursor qcur(view);
   auto query_base = [&](int64_t q) -> char {
     if (!have_q) return 'N';
     if (view.valid()) {
       if (!rec->reverse) {
-        return upper(view.at(rec->query_start + q));
+        return upper(qcur.get(rec->query_start + q));
       }
-      return comp(upper(view.at(rec->query_end - 1 - q)));
+      return comp(upper(qcur.get(rec->query_end - 1 - q)));
     }
     const int64_t off = q - q_lo;
     if (off < 0 || off >= static_cast<int64_t>(qslice.size())) return 'N';
@@ -408,6 +414,28 @@ struct RowItem {
   std::vector<std::tuple<const RecWalk*, int32_t, int32_t>> parts;
 };
 
+// Scratch reused across a thread's windows: position-bucket chains over the
+// window span.  The two-pointer union merge is O(rows x union) SiteRef
+// copies + cmp_variant calls per window (measured 52M compares per 600
+// HPRC-shaped windows — the build-stage hotspot); bucketing by (pos - ws)
+// makes union construction and cell fill O(emissions + span) with tiny
+// constants.  Chains per position are 1-2 long (few distinct alleles per
+// site), kept (ref, alt)-sorted so column order stays the lexicographic
+// (pos, ref, alt) the tests pin.
+struct BuildScratch {
+  struct Node {
+    const Variant* v;
+    const char* pool;
+    int32_t next;
+  };
+  std::vector<int32_t> head;    // bucket -> first node index (-1 = empty)
+  std::vector<Node> nodes;      // union variants in first-seen order
+  std::vector<int32_t> emis;    // node index per emission, row-major
+  std::vector<int32_t> node_col;  // node index -> final column
+};
+
+constexpr int64_t kMaxBucketSpan = int64_t(1) << 22;  // fall back past 4 Mb
+
 WindowMatrix build_window(const std::vector<const RecWalk*>& by_name,
                           const std::string& target, int64_t ws, int64_t we,
                           int32_t w) {
@@ -441,38 +469,110 @@ WindowMatrix build_window(const std::vector<const RecWalk*>& by_name,
     rows.insert(it, RowItem{&ref_name, ws, we, {}});
   }
 
-  // Site axis: union of the rows' variants.  Each record's window slice is
-  // already sorted+unique, and the union stays small (shared variation), so
-  // two-pointer merges beat sorting the duplicate-heavy concatenation (the
-  // sort's comparator degenerated to string compares between equal keys and
-  // dominated batch-extraction profiles).
+  // Site axis: union of the rows' variants.  Fast path: bucket variants by
+  // (pos - ws) into per-position chains (see BuildScratch) — O(emissions +
+  // span).  Fallback for giant windows: two-pointer merges (each record's
+  // window slice is already sorted+unique).
   struct SiteRef {
     const Variant* v;
     const char* pool;
   };
-  std::vector<SiteRef> site_union, merged;
-  for (const RowItem& r : rows) {
-    for (const auto& [rw, vb, vend] : r.parts) {
-      const char* pool = rw->pool.data();
-      const Variant* s_it = rw->variants.data() + vb;
-      const Variant* s_end = rw->variants.data() + vend;
-      merged.clear();
-      merged.reserve(site_union.size() + static_cast<size_t>(vend - vb));
-      auto u_it = site_union.begin();
-      while (u_it != site_union.end() && s_it != s_end) {
-        const int c = cmp_variant(*u_it->v, u_it->pool, *s_it, pool);
-        if (c < 0) {
-          merged.push_back(*u_it++);
-        } else if (c > 0) {
-          merged.push_back({s_it++, pool});
-        } else {
-          merged.push_back(*u_it++);
-          ++s_it;
+  std::vector<SiteRef> site_union;
+  const int64_t span = we - ws;
+  bool bucketed = span <= kMaxBucketSpan;
+  thread_local BuildScratch scratch;
+  BuildScratch& S = scratch;
+  if (bucketed) {
+    // insertion-rule positions reach `we` (pos - ws == span), hence span+1
+    S.head.assign(static_cast<size_t>(span) + 1, -1);
+    S.nodes.clear();
+    S.emis.clear();
+    auto cmp_ra = [](const BuildScratch::Node& n, const Variant& v,
+                     const char* pool) {
+      const int c = cmp_span(n.pool + n.v->ref_off, n.v->ref_len,
+                             pool + v.ref_off, v.ref_len);
+      if (c) return c;
+      return cmp_span(n.pool + n.v->alt_off, n.v->alt_len,
+                      pool + v.alt_off, v.alt_len);
+    };
+    for (const RowItem& r : rows) {
+      for (const auto& [rw, vb, vend] : r.parts) {
+        const char* pool = rw->pool.data();
+        for (int32_t i = vb; bucketed && i < vend; ++i) {
+          const Variant& v = rw->variants[static_cast<size_t>(i)];
+          const int64_t off = v.pos - ws;
+          if (off < 0 || off > span) {  // defensive: shouldn't happen
+            bucketed = false;
+            break;
+          }
+          // chain insert keeping (ref, alt) sort order (pos is equal
+          // within a bucket); chains are 1-2 long in practice
+          int32_t cur = S.head[static_cast<size_t>(off)];
+          int32_t prev = -1, node_idx = -1;
+          while (cur >= 0) {
+            const int c = cmp_ra(S.nodes[static_cast<size_t>(cur)], v, pool);
+            if (c == 0) {
+              node_idx = cur;
+              break;
+            }
+            if (c > 0) break;  // insert before `cur`
+            prev = cur;
+            cur = S.nodes[static_cast<size_t>(cur)].next;
+          }
+          if (node_idx < 0) {
+            node_idx = static_cast<int32_t>(S.nodes.size());
+            S.nodes.push_back({&v, pool, cur});
+            if (prev < 0) {
+              S.head[static_cast<size_t>(off)] = node_idx;
+            } else {
+              S.nodes[static_cast<size_t>(prev)].next = node_idx;
+            }
+          }
+          S.emis.push_back(node_idx);
         }
       }
-      merged.insert(merged.end(), u_it, site_union.end());
-      for (; s_it != s_end; ++s_it) merged.push_back({s_it, pool});
-      site_union.swap(merged);
+    }
+  }
+  if (bucketed) {
+    // column order: ascending bucket (pos), then chain order (ref, alt) —
+    // the same lexicographic total order the merge path produces
+    S.node_col.assign(S.nodes.size(), 0);
+    site_union.reserve(S.nodes.size());
+    for (size_t off = 0; off < S.head.size(); ++off) {
+      for (int32_t cur = S.head[off]; cur >= 0;
+           cur = S.nodes[static_cast<size_t>(cur)].next) {
+        S.node_col[static_cast<size_t>(cur)] =
+            static_cast<int32_t>(site_union.size());
+        site_union.push_back({S.nodes[static_cast<size_t>(cur)].v,
+                              S.nodes[static_cast<size_t>(cur)].pool});
+      }
+    }
+  } else {
+    site_union.clear();
+    std::vector<SiteRef> merged;
+    for (const RowItem& r : rows) {
+      for (const auto& [rw, vb, vend] : r.parts) {
+        const char* pool = rw->pool.data();
+        const Variant* s_it = rw->variants.data() + vb;
+        const Variant* s_end = rw->variants.data() + vend;
+        merged.clear();
+        merged.reserve(site_union.size() + static_cast<size_t>(vend - vb));
+        auto u_it = site_union.begin();
+        while (u_it != site_union.end() && s_it != s_end) {
+          const int c = cmp_variant(*u_it->v, u_it->pool, *s_it, pool);
+          if (c < 0) {
+            merged.push_back(*u_it++);
+          } else if (c > 0) {
+            merged.push_back({s_it++, pool});
+          } else {
+            merged.push_back(*u_it++);
+            ++s_it;
+          }
+        }
+        merged.insert(merged.end(), u_it, site_union.end());
+        for (; s_it != s_end; ++s_it) merged.push_back({s_it, pool});
+        site_union.swap(merged);
+      }
     }
   }
 
@@ -506,6 +606,8 @@ WindowMatrix build_window(const std::vector<const RecWalk*>& by_name,
   };
 
   int64_t row = 0;
+  size_t e = 0;  // bucketed mode: emission cursor (same iteration order
+                 // as the union pass, so S.emis lines up exactly)
   for (const RowItem& r : rows) {
     wm.names.push_back(*r.name);
     int8_t* g = wm.geno.data() +
@@ -528,19 +630,30 @@ WindowMatrix build_window(const std::vector<const RecWalk*>& by_name,
         if (site_union[static_cast<size_t>(c)].v->ref_len == 0) g[c] = 0;
       }
     }
-    // variant cells: the row's slice and the union share one sort order,
-    // so a two-pointer co-walk finds each column in O(union + slice)
-    // instead of per-variant binary searches
-    for (const auto& [rw, vb, vend] : r.parts) {
-      const char* pool = rw->pool.data();
-      size_t u = 0;
-      for (int32_t i = vb; i < vend; ++i) {
-        const Variant& v = rw->variants[static_cast<size_t>(i)];
-        while (u < site_union.size() &&
-               cmp_variant(*site_union[u].v, site_union[u].pool, v, pool) < 0) {
-          ++u;
+    // variant cells.  Bucketed: each emission already knows its union node
+    // (recorded in pass 1), so the fill is one array lookup per cell.
+    // Fallback: the row's slice and the union share one sort order, so a
+    // two-pointer co-walk finds each column in O(union + slice).
+    if (bucketed) {
+      for (const auto& [rw, vb, vend] : r.parts) {
+        (void)rw;
+        for (int32_t i = vb; i < vend; ++i) {
+          g[S.node_col[static_cast<size_t>(S.emis[e++])]] = 1;
         }
-        g[u] = 1;
+      }
+    } else {
+      for (const auto& [rw, vb, vend] : r.parts) {
+        const char* pool = rw->pool.data();
+        size_t u = 0;
+        for (int32_t i = vb; i < vend; ++i) {
+          const Variant& v = rw->variants[static_cast<size_t>(i)];
+          while (u < site_union.size() &&
+                 cmp_variant(*site_union[u].v, site_union[u].pool, v, pool) <
+                     0) {
+            ++u;
+          }
+          g[u] = 1;
+        }
       }
     }
     ++row;
@@ -618,10 +731,13 @@ std::vector<WindowMatrix> Extractor::extract_windows(
   }
 
   // Stage 1: one walk per record (parallel over records).
+  const bool timing = std::getenv("IMPOP_EXTRACT_TIMING") != nullptr;
+  const auto t0 = std::chrono::steady_clock::now();
   std::vector<RecWalk> walks(recs.size());
   parallel_for(n_threads, recs.size(), [&](size_t i) {
     walk_range(recs[i], fasta_, tseq, lo, hi, wstart, wend, &walks[i]);
   });
+  const auto t1 = std::chrono::steady_clock::now();
 
   // Row order = sorted row names (the one-window case used a name-keyed
   // map); stable so same-named records merge deterministically.
@@ -639,6 +755,15 @@ std::vector<WindowMatrix> Extractor::extract_windows(
     out[w] = build_window(by_name, target, wstart[w], wend[w],
                           static_cast<int32_t>(w));
   });
+  if (timing) {
+    const auto t2 = std::chrono::steady_clock::now();
+    const auto ms = [](auto a, auto b) {
+      return std::chrono::duration<double, std::milli>(b - a).count();
+    };
+    std::fprintf(stderr,
+                 "[extract] walks=%zu %.1f ms, builds=%zu %.1f ms\n",
+                 recs.size(), ms(t0, t1), wins.size(), ms(t1, t2));
+  }
   return out;
 }
 
