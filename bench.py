@@ -241,12 +241,20 @@ def bench_ehh(iters=8, w=64, n=CAP_N, s=CAP_S):
 
 def bench_e2e_scan():
     """Honest end-to-end: the scan CLI on a simulated chromosome-scale
-    PAF+FASTA pangenome — native extraction + H2D + device + emit.
+    PAF+FASTA pangenome — native extraction + H2D + device + fetch + emit.
     Chromosome scale (IMPOP_BENCH_E2E_MB megabases, default 10 -> 2000
-    windows, ~10 device batches at the tuned batch size) so the
-    steady-state rate rests on dozens of samples; steady-state excludes
-    only the first device call's jit compile (per-call stage samples from
-    scan --timing-json)."""
+    windows) so steady state rests on dozens of batches.
+
+    Two runs of the SAME CLI entry point over the same data:
+    - cold: first run in the process; `units_per_sec_cold` excludes the
+      scan's own 'compile' stage (the one-time jit compiles, which the
+      remote-compile hop makes wildly variable, 15-300 s) but includes
+      everything else (setup/index open, extraction, H2D, device, fetch,
+      emit).
+    - warm: second run with the module-level program cache populated — a
+      resumed or long-lived engine.  `units_per_sec` is that run's FULL
+      wall time with no exclusions at all.
+    """
     from impop_tpu.cli import main
     from impop_tpu.extract.simulate import simulate
 
@@ -276,27 +284,32 @@ def bench_e2e_scan():
             with open(pfile, "w") as fh:
                 fh.write("\n".join(take) + "\n")
             panel_args += ["--panel", pfile]
-        timing = os.path.join(tmp, "timing.json")
-        argv = ["scan", "-b", bed, "--paf", sim.paf_path,
-                "--fasta", sim.fasta_path, "-P", "CHM13#0#",
-                "-o", os.path.join(tmp, "out.tsv"),
-                "--batch", str(W_BATCH), "--timing-json", timing]
-        argv += panel_args
-        main(argv)
-        with open(timing) as fh:
-            t = json.load(fh)
-        windows = t["windows"]
-        elapsed = t["elapsed_sec"]
-        dev = t["stages"].get("device", {}).get("samples_sec", [])
-        # exclude the one-time jit compile from the steady-state rate
-        compile_excess = (dev[0] - float(np.median(dev[1:]))
-                          if len(dev) > 1 else 0.0)
-        steady = max(elapsed - max(compile_excess, 0.0), 1e-9)
+
+        def run(tag):
+            timing = os.path.join(tmp, f"timing_{tag}.json")
+            argv = ["scan", "-b", bed, "--paf", sim.paf_path,
+                    "--fasta", sim.fasta_path, "-P", "CHM13#0#",
+                    "-o", os.path.join(tmp, f"out_{tag}.tsv"),
+                    "--batch", str(W_BATCH), "--timing-json", timing]
+            main(argv + panel_args)
+            with open(timing) as fh:
+                return json.load(fh)
+
+        t_cold = run("cold")
+        t_warm = run("warm")
+        windows = t_warm["windows"]
+        compile_cold = (t_cold["stages"].get("compile", {})
+                        .get("total_sec", 0.0))
+        cold_steady = max(t_cold["elapsed_sec"] - compile_cold, 1e-9)
+        warm_full = max(t_warm["elapsed_sec"], 1e-9)
         return {
             "windows": windows,
-            "units_per_sec": round(windows / UNIT_WINDOWS / steady, 3),
+            "units_per_sec": round(windows / UNIT_WINDOWS / warm_full, 3),
+            "units_per_sec_cold": round(
+                windows / UNIT_WINDOWS / cold_steady, 3),
+            "compile_sec_cold": round(compile_cold, 3),
             "stages_sec": {k: round(v["total_sec"], 3)
-                           for k, v in t["stages"].items()},
+                           for k, v in t_warm["stages"].items()},
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -5,6 +5,8 @@
 #include <cstring>
 #include <stdexcept>
 #include <zlib.h>
+#include <atomic>
+#include <thread>
 
 namespace impop {
 
@@ -99,6 +101,49 @@ PafIndex::PafIndex(const std::string& path) {
   if (!gz) {
     throw std::runtime_error("cannot open PAF: " + path);
   }
+  // Streaming batches of lines, parsed in parallel: CIGAR parsing +
+  // checkpoint builds dominate index construction (~1 s per chromosome
+  // of 466 alignments), and batching bounds memory to ~64 raw lines.
+  const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+  std::vector<std::string> batch;
+  auto flush_batch = [&]() {
+    if (batch.empty()) return;
+    const size_t base = records_.size();
+    records_.resize(base + batch.size());
+    std::vector<char> ok(batch.size(), 0);
+    const unsigned nt =
+        std::min<size_t>(hw, batch.size());
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      for (;;) {
+        const size_t i = next.fetch_add(1);
+        if (i >= batch.size()) break;
+        PafRecord rec;
+        if (parse_line(batch[i], &rec)) {
+          rec.build_checkpoints();
+          records_[base + i] = std::move(rec);
+          ok[i] = 1;
+        }
+      }
+    };
+    if (nt <= 1) {
+      worker();
+    } else {
+      std::vector<std::thread> pool;
+      pool.reserve(nt);
+      for (unsigned t = 0; t < nt; ++t) pool.emplace_back(worker);
+      for (auto& th : pool) th.join();
+    }
+    // compact out failed parses, preserving order
+    size_t keep = base;
+    for (size_t i = 0; i < batch.size(); ++i) {
+      if (!ok[i]) continue;
+      if (keep != base + i) records_[keep] = std::move(records_[base + i]);
+      ++keep;
+    }
+    records_.resize(keep);
+    batch.clear();
+  };
   std::string line;
   std::vector<char> buf(1 << 20);
   while (true) {
@@ -115,12 +160,11 @@ PafIndex::PafIndex(const std::string& path) {
       line.pop_back();
     }
     if (line.empty()) continue;
-    PafRecord rec;
-    if (parse_line(line, &rec)) {
-      rec.build_checkpoints();
-      records_.push_back(std::move(rec));
-    }
+    batch.push_back(std::move(line));
+    line.clear();
+    if (batch.size() >= 64) flush_batch();
   }
+  flush_batch();
   gzclose(gz);
   for (size_t i = 0; i < records_.size(); ++i) {
     by_target_[records_[i].target_name].push_back(i);

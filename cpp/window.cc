@@ -44,6 +44,10 @@ struct UpperTable {
 const UpperTable kUpper;
 inline char upper(char c) { return kUpper.t[static_cast<unsigned char>(c)]; }
 
+// seek() lands up to one checkpoint stride before the requested position;
+// pad in-range op estimates by that much.
+constexpr size_t kCkptStrideSlack = 2 * 64;
+
 char comp(char c) {
   switch (c) {
     case 'A': return 'T';
@@ -154,9 +158,14 @@ void walk_range(const PafRecord* rec, const FastaReader& fasta,
   const size_t first_op = rec->seek(lo, &tpos, &qi);
 
   // one allocation up front: ~one variant per non-match op, ~2 pool bytes
-  // each (SNPs dominate); growth reallocations copied ~2x the final ~400 KB
-  // per record otherwise
-  const size_t est = rec->cigar.size() - std::min(first_op, rec->cigar.size());
+  // each (SNPs dominate).  Estimate ops IN RANGE via a checkpoint seek to
+  // `hi` — reserving to the record's end overallocated ~5 MB per record
+  // per chunk on chromosome-scale scans (most of the CIGAR lies past the
+  // chunk), which dominated the in-scan extraction profile.
+  int64_t est_t = 0, est_q = 0;
+  const size_t hi_op = rec->seek(hi, &est_t, &est_q);
+  const size_t est =
+      std::max<size_t>(hi_op, first_op) - first_op + kCkptStrideSlack;
   out->variants.reserve(est);
   out->win_of.reserve(est);
   out->pool.reserve(2 * est + 16);

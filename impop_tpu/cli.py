@@ -999,6 +999,190 @@ def cmd_panels_tajd(args) -> int:
 
 
 # --------------------------------------------------------------- scan (fused)
+#
+# Device programs live at module scope so they outlive one cmd_scan call:
+# jax.jit keys on function identity, and rebuilding the step closure per
+# scan (a journal-resumed rerun, a second scan in the same process)
+# recompiled a 15-170 s program for identical shapes.
+#
+# The scan ships ONE fused uint8 buffer per window batch.  Through the
+# remote-TPU tunnel every device_put is its own round trip (~30 ms), so six
+# per-array puts per batch cost more than the payload; and bit-packing
+# member/site/panel masks (8x) plus 2-bit allele codes (4x) cuts the
+# payload to ~1/4.  The device unpacks everything in one fused elementwise
+# prologue of the step program.
+
+
+def _scan_buf_layout(cap_n: int, cap_s: int, p_count: int,
+                     use_weights: bool) -> Dict[str, int]:
+    """Byte offsets of the per-window fused input buffer.
+
+    Segments: 2-bit allele codes, member bitmask, site bitmask, panel
+    bitmasks, window length (uint32 LE), optional site weights (uint16 LE).
+    cap_n % 8 == 0 and cap_s % 128 == 0 by _capacity_for / cap rounding.
+    """
+    o_g = 0
+    o_m = o_g + cap_n * (cap_s // 4)
+    o_sm = o_m + cap_n // 8
+    o_p = o_sm + cap_s // 8
+    o_l = o_p + p_count * (cap_n // 8)
+    o_w = o_l + 4
+    total = o_w + (2 * cap_s if use_weights else 0)
+    return {"g": o_g, "m": o_m, "sm": o_sm, "p": o_p, "l": o_l, "w": o_w,
+            "total": total}
+
+
+def pack_scan_batch(geno: np.ndarray, member: np.ndarray, smask: np.ndarray,
+                    panels: np.ndarray, lengths: np.ndarray,
+                    wts: Optional[np.ndarray],
+                    use_weights: bool) -> np.ndarray:
+    """Host-side fused pack -> [w, K] uint8 (layout: _scan_buf_layout).
+
+    Runs on the prefetch worker thread; pure numpy, no device access.
+    """
+    w, cap_n, cap_s = geno.shape
+    if geno.max(initial=-1) > 1:
+        raise SystemExit("error: scan is biallelic (allele codes 0/1); "
+                         "got a code > 1 in the allele tiles")
+    # uint8 view + wrapping add: -1 -> 0, 0 -> 1, 1 -> 2 (no widening temp)
+    codes = np.ascontiguousarray(geno).view(np.uint8) + np.uint8(1)
+    c = codes.reshape(w, cap_n, -1, 4)
+    g2 = c[..., 0].copy()
+    g2 |= c[..., 1] << 2
+    g2 |= c[..., 2] << 4
+    g2 |= c[..., 3] << 6
+    segs = [
+        g2.reshape(w, -1),
+        np.packbits(member, axis=-1, bitorder="little"),
+        np.packbits(smask, axis=-1, bitorder="little"),
+        np.packbits(panels, axis=-1, bitorder="little").reshape(w, -1),
+        np.ascontiguousarray(lengths.astype(np.uint32)).view(np.uint8)
+        .reshape(w, 4),
+    ]
+    if use_weights:
+        segs.append(
+            np.ascontiguousarray(
+                np.minimum(wts, np.float32(65535)).astype(np.uint16)
+            ).view(np.uint8).reshape(w, -1)
+        )
+    return np.concatenate(segs, axis=1)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=32)
+def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
+               threshold: float, use_weights: bool, want_afs: bool,
+               afs_bins: int, afs_folded: bool, pairs_disjoint: bool,
+               devs: tuple):
+    """Compiled fused scan step for one (shape, config) signature.
+
+    Returns a jitted fn mapping the fused uint8 batch buffer [w, K] to the
+    packed f32 result rows [w, R] (see cmd_scan for the row layout).  On
+    multiple local devices the window axis is shard_mapped over a `data`
+    mesh axis.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.allele import (identity_from_alleles, panel_afs,
+                                        segregating_sites)
+    from impop_tpu.stats.panelstats import fused_panel_stats
+    from impop_tpu.stats.tajima import tajimas_d
+
+    lay = _scan_buf_layout(cap_n, cap_s, p_count, use_weights)
+    pair_a = jnp.asarray([a for a, _ in pair_key] or [0], jnp.int32)
+    pair_b = jnp.asarray([b for _, b in pair_key] or [0], jnp.int32)
+    with_pairs = bool(pair_key)
+    t = jnp.float32(threshold)
+    bitsh = jnp.arange(8, dtype=jnp.uint8)
+
+    def unpack_bits(seg, n):
+        b = (seg[:, None] >> bitsh[None, :]) & jnp.uint8(1)
+        return b.reshape(-1)[:n].astype(bool)
+
+    def one_window(flat):
+        # fused unpack of the wire format (one elementwise prologue)
+        gp = flat[lay["g"]:lay["m"]].reshape(cap_n, cap_s // 4)
+        shifts = jnp.asarray([0, 2, 4, 6], jnp.uint8)
+        codes = (gp[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+        g = codes.reshape(cap_n, cap_s).astype(jnp.int8) - 1
+        m = unpack_bits(flat[lay["m"]:lay["sm"]], cap_n)
+        smask = unpack_bits(flat[lay["sm"]:lay["p"]], cap_s)
+        pb = flat[lay["p"]:lay["l"]].reshape(p_count, cap_n // 8)
+        panels1 = (((pb[:, :, None] >> bitsh[None, None, :]) & jnp.uint8(1))
+                   .reshape(p_count, cap_n).astype(bool))
+        lb = flat[lay["l"]:lay["l"] + 4].astype(jnp.uint32)
+        length = (lb[0] | (lb[1] << 8) | (lb[2] << 16)
+                  | (lb[3] << 24)).astype(jnp.float32)
+        if use_weights:
+            wb = flat[lay["w"]:lay["w"] + 2 * cap_s].reshape(
+                cap_s, 2).astype(jnp.uint32)
+            wts = (wb[:, 0] | (wb[:, 1] << 8)).astype(jnp.float32)
+        else:
+            wts = None
+
+        sim, present = identity_from_alleles(g, m, smask, length,
+                                             site_weights=wts)
+        s_count = segregating_sites(g, m, smask)
+        res = fused_panel_stats(sim, present, m, panels1, pair_a, pair_b, t,
+                                pairs_disjoint=pairs_disjoint)
+        pi_panel = res.pi[:p_count]
+        pi_c = res.pi[p_count:]
+        d = tajimas_d(res.n[:p_count],
+                      s_count.astype(jnp.float32), pi_panel / length)
+        fst = res.hudson.fst
+        # grouped-method Hudson (hud.py -m grouped) comes out of the same
+        # fused reduction via seed-representative weight rows
+        fstg = res.hudson_grouped.fst if with_pairs else jnp.zeros_like(fst)
+        pi_ab = 0.5 * (pi_panel[pair_a] + pi_panel[pair_b])
+        f3 = jnp.where(pi_c != 0,
+                       (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0),
+                       jnp.nan)
+        n_all = jnp.sum(m.astype(jnp.int32))
+        afs = (panel_afs(g, m, smask, panels1, afs_bins, afs_folded)
+               if want_afs
+               else jnp.zeros((p_count, 1), jnp.int32))
+        # ONE packed f32 row per window: through the remote-TPU tunnel each
+        # fetched array is its own device-to-host round trip (~100 ms).
+        # All packed values are exact in f32 (counts < 2^24).
+        return jnp.concatenate([
+            pi_panel, d, fst.astype(jnp.float32),
+            fstg.astype(jnp.float32), f3,
+            s_count.reshape(1).astype(jnp.float32),
+            n_all.reshape(1).astype(jnp.float32),
+            afs.reshape(-1).astype(jnp.float32),
+        ])
+
+    fn = jax.vmap(one_window)
+    if len(devs) > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from impop_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=len(devs), devices=list(devs))
+        fn = shard_map(fn, mesh=mesh, in_specs=(P("data"),),
+                       out_specs=P("data"))
+    return jax.jit(fn)
+
+
+_COMPILED_SIGS: set = set()
+_concat_jit = None
+
+
+def _concat_outputs(*xs):
+    """Device-side concat of a drain group's packed rows: G result arrays
+    become ONE fetched array, so the drain pays one tunnel round trip per
+    group instead of per batch."""
+    global _concat_jit
+    if _concat_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        _concat_jit = jax.jit(lambda *ys: jnp.concatenate(ys, axis=0))
+    return _concat_jit(*xs)
 
 
 def cmd_scan(args) -> int:
@@ -1008,13 +1192,9 @@ def cmd_scan(args) -> int:
     result journal for idempotent resume (the reference restarts from
     scratch, SURVEY.md §5)."""
     import jax
-    import jax.numpy as jnp
 
     from impop_tpu.io.panels import expand_population
     from impop_tpu.runtime.journal import ResultJournal
-    from impop_tpu.stats.allele import identity_from_alleles, segregating_sites
-    from impop_tpu.stats.panelstats import fused_panel_stats
-    from impop_tpu.stats.tajima import tajimas_d
 
     from impop_tpu.parallel.distributed import host_window_range, maybe_initialize
     from impop_tpu.runtime.profiling import StageTimers, device_trace
@@ -1022,6 +1202,11 @@ def cmd_scan(args) -> int:
     proc_idx, proc_count = (maybe_initialize(True) if args.distributed
                             else (0, 1))
     timers = StageTimers()
+    # everything before the batch loop (index/PAF open, panel reads,
+    # journal replay) is one-time setup — timed as its own stage so the
+    # breakdown accounts for all elapsed time
+    _setup_stage = timers.stage("setup")
+    _setup_stage.__enter__()
 
     regions = read_bed(args.bed)
     if proc_count > 1:
@@ -1086,15 +1271,11 @@ def cmd_scan(args) -> int:
     else:
         header += ["PI", "TAJIMAS_D"]
 
-    t = jnp.float32(args.threshold)
     # host copies for the prefetch worker's disjointness check — fetching a
-    # device array there (np.asarray(pair_a)) synced with the TPU tunnel
-    # inside the build stage, once measured at 265 s while a prior process
-    # lease drained
+    # device array there synced with the TPU tunnel inside the build stage,
+    # once measured at 265 s while a prior process lease drained
     pair_a_np = np.asarray([i for i, _ in pair_list] or [0], np.int32)
     pair_b_np = np.asarray([j for _, j in pair_list] or [0], np.int32)
-    pair_a = jnp.asarray(pair_a_np)
-    pair_b = jnp.asarray(pair_b_np)
 
     use_weights = getattr(args, "identity_mode", "events") == "columns"
     want_afs = bool(getattr(args, "afs", None))
@@ -1102,53 +1283,6 @@ def cmd_scan(args) -> int:
     afs_folded = not getattr(args, "afs_unfolded", False)
 
     with_pairs = bool(pair_list)
-
-    def make_one_window(pairs_disjoint: bool):
-      def one_window(gp, m, smask, panels1, length, wts):
-        from impop_tpu.stats.allele import panel_afs
-
-        # unpack the 2-bit site codes (see _pack_geno_2bit): one fused
-        # elementwise pass on device instead of shipping 4x the bytes
-        # through the host->device tunnel
-        shifts = jnp.asarray([0, 2, 4, 6], jnp.uint8)
-        codes = (gp[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
-        g = codes.reshape(gp.shape[0], -1).astype(jnp.int8) - 1
-        sim, present = identity_from_alleles(
-            g, m, smask, length,
-            site_weights=wts if use_weights else None,
-        )
-        s_count = segregating_sites(g, m, smask)
-        res = fused_panel_stats(sim, present, m, panels1, pair_a, pair_b, t,
-                                pairs_disjoint=pairs_disjoint)
-        pi_panel = res.pi[:panels1.shape[0]]
-        pi_c = res.pi[panels1.shape[0]:]
-        d = tajimas_d(res.n[:panels1.shape[0]],
-                      s_count.astype(jnp.float32), pi_panel / length)
-        fst = res.hudson.fst
-        # grouped-method Hudson (hud.py -m grouped) comes out of the same
-        # fused reduction via seed-representative weight rows
-        fstg = res.hudson_grouped.fst if with_pairs else jnp.zeros_like(fst)
-        pi_ab = 0.5 * (pi_panel[pair_a] + pi_panel[pair_b])
-        f3 = jnp.where(pi_c != 0,
-                       (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0),
-                       jnp.nan)
-        n_all = jnp.sum(m.astype(jnp.int32))
-        afs = (panel_afs(g, m, smask, panels1, afs_bins, afs_folded)
-               if want_afs
-               else jnp.zeros((panels1.shape[0], 1), jnp.int32))
-        # ONE packed f32 row per window: through the remote-TPU tunnel each
-        # fetched array is its own device-to-host round trip (~100 ms), and
-        # 8 round trips per batch dominated the scan's device stage.  All
-        # packed values are exact in f32 (counts < 2^24).
-        return jnp.concatenate([
-            pi_panel, d, fst.astype(jnp.float32),
-            fstg.astype(jnp.float32), f3,
-            s_count.reshape(1).astype(jnp.float32),
-            n_all.reshape(1).astype(jnp.float32),
-            afs.reshape(-1).astype(jnp.float32),
-        ])
-
-      return one_window
 
     # packed-row layout (host-side unpack offsets)
     q_eff = max(1, len(pair_list))
@@ -1170,73 +1304,53 @@ def cmd_scan(args) -> int:
     # communicate but the output files.
     local_devs = jax.local_devices()
     n_dev = len(local_devs)
+    devs_key = tuple(local_devs)
     mesh = None
     if n_dev > 1:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
         from impop_tpu.parallel.mesh import make_mesh, window_sharding
 
         mesh = make_mesh(data=n_dev, devices=local_devs)
 
-    _steps: Dict[bool, object] = {}
+    def step_for(pairs_disjoint: bool, cap_n: int, cap_s: int):
+        """Compiled step per (shape, pair-disjointness) — disjoint panels
+        skip 2Q masks in the fused grouping pass.  Programs are cached at
+        module scope (_scan_step), so a resumed or repeated scan in the
+        same process reuses the compiled executable."""
+        return _scan_step(cap_n, cap_s, p_count, tuple(pair_list),
+                          float(args.threshold), use_weights, want_afs,
+                          afs_bins, afs_folded, pairs_disjoint, devs_key)
 
-    def step_for(pairs_disjoint: bool):
-        """Compiled step per (host-verified) pair-disjointness — disjoint
-        panels skip 2Q masks in the fused grouping pass."""
-        if pairs_disjoint not in _steps:
-            fn = jax.vmap(make_one_window(pairs_disjoint))
-            if mesh is not None:
-                from jax import shard_map
-                from jax.sharding import PartitionSpec as P
-
-                spec = P("data")
-                fn = shard_map(fn, mesh=mesh,
-                               in_specs=(spec,) * 6, out_specs=spec)
-            _steps[pairs_disjoint] = jax.jit(fn)
-        return _steps[pairs_disjoint]
-
-    def _pack_geno_2bit(geno):
-        """[W, N, S] int8 {-1,0,1} -> [W, N, S/4] uint8 (code = allele+1,
-        4 sites/byte, LSB-first).  The geno tile is ~97% of the batch's
-        H2D bytes and the tunnel moves ~100 MB/s, so shipping 2-bit codes
-        cuts the per-batch transfer 4x; the device unpacks in one fused
-        elementwise op inside the step program."""
-        if geno.max(initial=-1) > 1:
-            raise SystemExit("error: scan is biallelic (allele codes 0/1); "
-                             "got a code > 1 in the allele tiles")
-        # uint8 view + wrapping add: -1 -> 255 -> 0, 0 -> 1, 1 -> 2 (no
-        # widening temp; this runs per batch on the prefetch thread)
-        codes = np.ascontiguousarray(geno).view(np.uint8) + np.uint8(1)
-        c = codes.reshape(*geno.shape[:-1], -1, 4)
-        out = c[..., 0].copy()
-        out |= c[..., 1] << 2
-        out |= c[..., 2] << 4
-        out |= c[..., 3] << 6
-        return out
+    def step_is_new(pairs_disjoint: bool, cap_n: int, cap_s: int,
+                    w: int) -> bool:
+        """First dispatch of a program signature in this process carries
+        the jit compile — timed under the 'compile' stage, not 'device'."""
+        sig = (pairs_disjoint, cap_n, cap_s, p_count, tuple(pair_list),
+               float(args.threshold), use_weights, want_afs, afs_bins,
+               afs_folded, devs_key, w)
+        if sig in _COMPILED_SIGS:
+            return False
+        _COMPILED_SIGS.add(sig)
+        return True
 
     def put_batch(arrays):
-        arrays = (_pack_geno_2bit(arrays[0]),) + tuple(arrays[1:])
+        geno, member, smask, panels, lengths, wts = arrays
+        flat = pack_scan_batch(geno, member, smask, panels, lengths, wts,
+                               use_weights)
         if mesh is None:
-            return tuple(jax.device_put(a) for a in arrays)
-        w = arrays[0].shape[0]
+            return (jax.device_put(flat),)
+        w = flat.shape[0]
         w_pad = ((w + n_dev - 1) // n_dev) * n_dev
-        padded = []
-        for a in arrays:
-            if w_pad != w:
-                pad_shape = (w_pad - w,) + a.shape[1:]
-                fill = -1 if a.dtype == np.int8 else 0
-                a = np.concatenate(
-                    [a, np.full(pad_shape, fill, dtype=a.dtype)], axis=0
-                )
-            padded.append(
-                jax.device_put(a, window_sharding(mesh, a.ndim))
-            )
-        return tuple(padded)
+        if w_pad != w:
+            # padding rows are all-zero: empty member/site masks -> inert
+            flat = np.concatenate(
+                [flat, np.zeros((w_pad - w, flat.shape[1]), np.uint8)],
+                axis=0)
+        return (jax.device_put(flat, window_sharding(mesh, flat.ndim)),)
 
     afs_total = (np.zeros((p_count, afs_bins + 1), np.int64)
                  if want_afs else None)
 
+    _setup_stage.__exit__(None, None, None)
     out = _out_stream(args.output)
     try:
         print("\t".join(header), file=out)
@@ -1316,7 +1430,7 @@ def cmd_scan(args) -> int:
                             kept.append((reg, rs))
                             rows.append((gi, k))
                 if not kept:
-                    return None, kept, failures, False
+                    return None, kept, failures, False, (0, 0)
                 cap_n = _capacity_for([p[0].shape[1] for p in parts])
                 cap_s = max(p[0].shape[2] for p in parts)
                 cap_hint[0] = max(cap_hint[0], cap_n)
@@ -1363,7 +1477,7 @@ def cmd_scan(args) -> int:
             with timers.stage("h2d"):
                 dev_args = put_batch((geno, member, smask, panels, lengths,
                                       wts))
-            return dev_args, kept, failures, disjoint
+            return dev_args, kept, failures, disjoint, (cap_n, cap_s)
 
         def prepare_chunk(chunk, n_chunks):
             """Worker-side: extract + pad + submit H2D for one batch.
@@ -1381,7 +1495,7 @@ def cmd_scan(args) -> int:
             with timers.stage("extract"):
                 tiles, kept, failures = load_chunk(chunk)
             if not tiles:
-                return None, kept, failures, False
+                return None, kept, failures, False, (0, 0)
             with timers.stage("build"):
                 cap_n = _capacity_for([t0.shape[0] for t0, *_ in tiles])
                 cap_s = max(128, max(t0.shape[1] for t0, *_ in tiles))
@@ -1419,7 +1533,7 @@ def cmd_scan(args) -> int:
             with timers.stage("h2d"):
                 dev_args = put_batch((geno, member, smask, panels, lengths,
                                       wts))
-            return dev_args, kept, failures, disjoint
+            return dev_args, kept, failures, disjoint, (cap_n, cap_s)
 
         # pipeline: the worker thread extracts AND stages batch k+1 in HBM
         # while the device computes batch k (the reference is fully
@@ -1443,16 +1557,9 @@ def cmd_scan(args) -> int:
 
         _top_up()
         n_done = n_failed = 0
-        pending_out = None  # dispatched-but-unfetched (out_dev, kept)
 
-        def _drain_batch(out_dev, kept):
+        def emit_rows(packed, kept):
             nonlocal n_done
-            with timers.stage("device"):
-                # the device-to-host fetch IS the barrier: through the
-                # remote-TPU tunnel block_until_ready can return before
-                # execution finishes (CLAUDE.md), which would silently move
-                # compile+execute time out of this stage
-                packed = np.asarray(out_dev)
             pi_v = packed[:, _o_pi:_o_d]
             d_v = packed[:, _o_d:_o_fst]
             fst_v = packed[:, _o_fst:_o_fstg]
@@ -1520,15 +1627,52 @@ def cmd_scan(args) -> int:
                 print(row, file=out)
                 n_done += 1
 
-        # software-pipelined consume: dispatch batch k+1 BEFORE fetching
-        # batch k's packed outputs, so the device computes k+1 while the
-        # host drains + emits k (dispatch is async; the fetch in
-        # _drain_batch is the real barrier).  The first dispatch carries
-        # the jit compile and stays in the device stage's sample stream
-        # (bench.py's steady-state heuristic keys off it).
+        # software-pipelined consume with grouped drains: dispatch batches
+        # continuously; every `drain_group` outputs are concatenated ON
+        # DEVICE and fetched as one array (one tunnel round trip per group,
+        # ~150 ms each), one group behind the dispatch front so the device
+        # computes while the host drains + emits.  First dispatches of a
+        # program signature carry the jit compile and are timed under the
+        # 'compile' stage (bench.py subtracts that stage for steady-state).
+        drain_group = max(1, int(getattr(args, "drain_group", 4) or 4))
+        group: List[tuple] = []   # [(out_dev, kept)]
+        pending_out = None        # (cout_dev, [kept...], [w...])
+
+        def _drain_group(cout_dev, kept_lists, sizes):
+            with timers.stage("fetch"):
+                # the device-to-host fetch IS the barrier: through the
+                # remote-TPU tunnel block_until_ready can return before
+                # execution finishes (CLAUDE.md), which would silently
+                # move execute time out of the timed stages
+                packed_all = np.asarray(cout_dev)
+            with timers.stage("emit"):
+                off = 0
+                for kept_b, w_b in zip(kept_lists, sizes):
+                    emit_rows(packed_all[off:off + w_b], kept_b)
+                    off += w_b
+
+        def _flush_group():
+            nonlocal pending_out, group
+            if not group:
+                return
+            if len(group) == 1:
+                cout = group[0][0]
+            else:
+                sig = ("concat", len(group), tuple(group[0][0].shape))
+                fresh = sig not in _COMPILED_SIGS
+                _COMPILED_SIGS.add(sig)
+                with timers.stage("compile" if fresh else "device"):
+                    cout = _concat_outputs(*[o for o, _ in group])
+            if pending_out is not None:
+                _drain_group(*pending_out)
+            pending_out = (cout, [k for _, k in group],
+                           [o.shape[0] for o, _ in group])
+            group = []
+
         while inflight:
             with timers.stage("wait_input"):
-                dev_args, kept, failures, disjoint = inflight.popleft().result()
+                (dev_args, kept, failures, disjoint,
+                 caps) = inflight.popleft().result()
             _top_up()
             for rs, err in failures:
                 _warn(f"Warning: {rs}: {err}; recording NA")
@@ -1536,13 +1680,16 @@ def cmd_scan(args) -> int:
                 n_failed += 1
             if dev_args is None:
                 continue
-            with timers.stage("device"):
-                out_dev = step_for(disjoint)(*dev_args)
-            if pending_out is not None:
-                _drain_batch(*pending_out)
-            pending_out = (out_dev, kept)
+            fresh = step_is_new(disjoint, caps[0], caps[1],
+                                dev_args[0].shape[0])
+            with timers.stage("compile" if fresh else "device"):
+                out_dev = step_for(disjoint, caps[0], caps[1])(*dev_args)
+            group.append((out_dev, kept))
+            if len(group) >= drain_group:
+                _flush_group()
+        _flush_group()
         if pending_out is not None:
-            _drain_batch(*pending_out)
+            _drain_group(*pending_out)
         pool.shutdown(wait=False)
         trace_ctx.__exit__(None, None, None)
         _print_counters(n_done, n_failed)
@@ -2390,6 +2537,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="windows per device step (device throughput "
                         "saturates near 320 on v5e; smaller batches "
                         "recompile less and resume finer)")
+    p.add_argument("--drain-group", type=int, default=4,
+                   help="device batches concatenated per result fetch "
+                        "(each fetch is a ~150 ms tunnel round trip; "
+                        "journal flush granularity = batch x this)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize and shard "
                         "the window list across processes")

@@ -32,7 +32,10 @@ def _argv(tmp_path, sim, bed, out, journal):
             "--fasta", sim.fasta_path, "-P", "CHM13#0#",
             "--panel", str(tmp_path / "agc.P1"),
             "--panel", str(tmp_path / "agc.P2"),
-            "--batch", "2", "--journal", str(journal), "-o", str(out)]
+            "--batch", "2", "--journal", str(journal), "-o", str(out),
+            # per-batch journal flushes so the SIGKILL lands between them
+            # (the default drain group coalesces 4 batches per fetch)
+            "--drain-group", "1"]
 
 
 def test_sigkill_mid_scan_then_resume(tmp_path):
