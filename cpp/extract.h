@@ -182,6 +182,10 @@ class PafIndex {
   size_t size() const { return records_.size(); }
 
  private:
+  // mmap + parallel byte-range parse for plain files; false -> gz path
+  bool try_mmap_parse(const std::string& path);
+  void build_target_index();
+
   std::vector<PafRecord> records_;
   // per target: record indices sorted by target_start
   std::unordered_map<std::string, std::vector<size_t>> by_target_;

@@ -7,13 +7,19 @@
 #include <zlib.h>
 #include <atomic>
 #include <thread>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 namespace impop {
 
-static std::vector<CigarOp> parse_cigar(const char* s) {
+static std::vector<CigarOp> parse_cigar(const char* s, const char* end) {
   std::vector<CigarOp> ops;
+  // ~2 chars per op lower bound; one reservation instead of log2(n) grows
+  ops.reserve(static_cast<size_t>(end - s) / 3 + 4);
   int64_t len = 0;
-  for (; *s; ++s) {
+  for (; s != end; ++s) {
     char c = *s;
     if (c >= '0' && c <= '9') {
       len = len * 10 + (c - '0');
@@ -25,37 +31,53 @@ static std::vector<CigarOp> parse_cigar(const char* s) {
   return ops;
 }
 
-static bool parse_line(const std::string& line, PafRecord* rec) {
-  // 12 mandatory columns, then tags.
-  std::vector<std::string> cols;
-  size_t start = 0;
-  while (start <= line.size()) {
-    size_t tab = line.find('\t', start);
-    if (tab == std::string::npos) {
-      cols.push_back(line.substr(start));
-      break;
-    }
-    cols.push_back(line.substr(start, tab - start));
-    start = tab + 1;
+// Parse one PAF line from a raw byte span (no per-column allocations —
+// names copy out, integers parse in place, the CIGAR parses straight off
+// the buffer).  Works for both the gz line path and the mmap path.
+static bool parse_line(const char* b, const char* e, PafRecord* rec) {
+  const char* col[13];  // starts of the first 13 columns (12 + first tag)
+  const char* p = b;
+  int nc = 0;
+  col[nc++] = p;
+  while (p != e && nc < 13) {
+    if (*p == '\t') col[nc++] = p + 1;
+    ++p;
   }
-  if (cols.size() < 12) return false;
-  try {
-    rec->query_name = cols[0];
-    rec->query_len = std::stoll(cols[1]);
-    rec->query_start = std::stoll(cols[2]);
-    rec->query_end = std::stoll(cols[3]);
-    rec->reverse = (cols[4] == "-");
-    rec->target_name = cols[5];
-    rec->target_len = std::stoll(cols[6]);
-    rec->target_start = std::stoll(cols[7]);
-    rec->target_end = std::stoll(cols[8]);
-  } catch (const std::exception&) {
+  if (nc < 12) return false;
+  auto span_end = [&](int i) {
+    const char* q = col[i];
+    while (q != e && *q != '\t') ++q;
+    return q;
+  };
+  auto to_ll = [&](int i, int64_t* out) {
+    int64_t v = 0;
+    const char* q = col[i];
+    bool any = false;
+    for (; q != e && *q >= '0' && *q <= '9'; ++q) {
+      v = v * 10 + (*q - '0');
+      any = true;
+    }
+    if (!any || (q != e && *q != '\t')) return false;
+    *out = v;
+    return true;
+  };
+  rec->query_name.assign(col[0], span_end(0));
+  rec->target_name.assign(col[5], span_end(5));
+  rec->reverse = (col[4] != e && *col[4] == '-');
+  if (!to_ll(1, &rec->query_len) || !to_ll(2, &rec->query_start) ||
+      !to_ll(3, &rec->query_end) || !to_ll(6, &rec->target_len) ||
+      !to_ll(7, &rec->target_start) || !to_ll(8, &rec->target_end)) {
     return false;
   }
-  for (size_t i = 12; i < cols.size(); ++i) {
-    if (cols[i].rfind("cg:Z:", 0) == 0) {
-      rec->cigar = parse_cigar(cols[i].c_str() + 5);
+  // tags: find cg:Z:
+  for (const char* q = nc > 12 ? col[12] : e; q < e;) {
+    const char* fe = q;
+    while (fe != e && *fe != '\t') ++fe;
+    if (fe - q > 5 && q[0] == 'c' && q[1] == 'g' && q[2] == ':' &&
+        q[3] == 'Z' && q[4] == ':') {
+      rec->cigar = parse_cigar(q + 5, fe);
     }
+    q = fe == e ? e : fe + 1;
   }
   return true;
 }
@@ -96,7 +118,84 @@ size_t PafRecord::seek(int64_t start, int64_t* tpos, int64_t* qpos) const {
   return lo * static_cast<size_t>(kCkptStride);
 }
 
+// Plain (non-gzip) PAF: mmap + parse lines in parallel byte ranges.  The
+// gzgets path copied the whole file through zlib line by line and parsed
+// serially — ~1.5 s of every scan's setup for a chromosome-scale PAF.
+bool PafIndex::try_mmap_parse(const std::string& path) {
+  const int fd = ::open(path.c_str(), O_RDONLY);
+  if (fd < 0) return false;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size == 0) {
+    ::close(fd);
+    return false;
+  }
+  unsigned char magic[2] = {0, 0};
+  if (::pread(fd, magic, 2, 0) != 2 ||
+      (magic[0] == 0x1f && magic[1] == 0x8b)) {
+    ::close(fd);
+    return false;  // gzip -> caller's zlib path
+  }
+  const size_t sz = static_cast<size_t>(st.st_size);
+  void* m = ::mmap(nullptr, sz, PROT_READ, MAP_PRIVATE, fd, 0);
+  ::close(fd);
+  if (m == MAP_FAILED) return false;
+  const char* base = static_cast<const char*>(m);
+
+  const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+  const unsigned nt = static_cast<unsigned>(
+      std::min<size_t>(hw, (sz + (1 << 20) - 1) >> 20));  // >=1 MB/chunk
+  // chunk boundaries snapped forward to the next newline
+  std::vector<size_t> bound(nt + 1, sz);
+  bound[0] = 0;
+  for (unsigned t = 1; t < nt; ++t) {
+    size_t p = sz / nt * t;
+    const void* nl = memchr(base + p, '\n', sz - p);
+    bound[t] = nl ? static_cast<size_t>(static_cast<const char*>(nl) - base) + 1
+                  : sz;
+  }
+  std::vector<std::vector<PafRecord>> parts(nt);
+  std::vector<std::thread> pool;
+  auto parse_span = [&](unsigned t) {
+    const char* p = base + bound[t];
+    const char* endp = base + bound[t + 1];
+    auto& out = parts[t];
+    while (p < endp) {
+      const void* nl = memchr(p, '\n', static_cast<size_t>(endp - p));
+      const char* le = nl ? static_cast<const char*>(nl) : endp;
+      const char* trimmed = le;
+      while (trimmed > p && trimmed[-1] == '\r') --trimmed;
+      if (trimmed > p) {
+        PafRecord rec;
+        if (parse_line(p, trimmed, &rec)) {
+          rec.build_checkpoints();
+          out.push_back(std::move(rec));
+        }
+      }
+      p = le == endp ? endp : le + 1;
+    }
+  };
+  if (nt <= 1) {
+    parse_span(0);
+  } else {
+    pool.reserve(nt);
+    for (unsigned t = 0; t < nt; ++t) pool.emplace_back(parse_span, t);
+    for (auto& th : pool) th.join();
+  }
+  size_t total = 0;
+  for (auto& pt : parts) total += pt.size();
+  records_.reserve(total);
+  for (auto& pt : parts) {
+    for (auto& r : pt) records_.push_back(std::move(r));
+  }
+  ::munmap(m, sz);
+  return true;
+}
+
 PafIndex::PafIndex(const std::string& path) {
+  if (try_mmap_parse(path)) {
+    build_target_index();
+    return;
+  }
   gzFile gz = gzopen(path.c_str(), "rb");  // handles plain files too
   if (!gz) {
     throw std::runtime_error("cannot open PAF: " + path);
@@ -119,7 +218,8 @@ PafIndex::PafIndex(const std::string& path) {
         const size_t i = next.fetch_add(1);
         if (i >= batch.size()) break;
         PafRecord rec;
-        if (parse_line(batch[i], &rec)) {
+        if (parse_line(batch[i].data(), batch[i].data() + batch[i].size(),
+                       &rec)) {
           rec.build_checkpoints();
           records_[base + i] = std::move(rec);
           ok[i] = 1;
@@ -166,6 +266,10 @@ PafIndex::PafIndex(const std::string& path) {
   }
   flush_batch();
   gzclose(gz);
+  build_target_index();
+}
+
+void PafIndex::build_target_index() {
   for (size_t i = 0; i < records_.size(); ++i) {
     by_target_[records_[i].target_name].push_back(i);
   }
