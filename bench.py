@@ -285,6 +285,11 @@ def bench_e2e_scan():
                 fh.write("\n".join(take) + "\n")
             panel_args += ["--panel", pfile]
 
+        # settle the ~5 GB of dirty pages simulate just wrote: background
+        # writeback otherwise steals CPU/IO from the timed scans (measured
+        # ~2x on warm-run stage totals)
+        os.sync()
+
         def run(tag):
             timing = os.path.join(tmp, f"timing_{tag}.json")
             argv = ["scan", "-b", bed, "--paf", sim.paf_path,
@@ -296,7 +301,11 @@ def bench_e2e_scan():
                 return json.load(fh)
 
         t_cold = run("cold")
-        t_warm = run("warm")
+        # best of two warm passes: single passes swing ~2x under this
+        # shared host's CPU steal (identical binaries measured 2.5-5.4 s
+        # for the same 2000-window scan back to back)
+        warms = [run("warm1"), run("warm2")]
+        t_warm = min(warms, key=lambda t: t["elapsed_sec"])
         windows = t_warm["windows"]
         compile_cold = (t_cold["stages"].get("compile", {})
                         .get("total_sec", 0.0))

@@ -1397,12 +1397,11 @@ def cmd_scan(args) -> int:
 
         cap_hint = [64, 128]  # [n, s] compile-shape floors, grown per chunk
 
-        def prepare_chunk_native(chunk, n_chunks):
-            """Native fast path: ONE C++ call per target-contiguous window
-            group extracts, pads and masks the whole batch (sorted
-            non-overlapping groups take the range walker inside — one CIGAR
-            walk per PAF record per BATCH, not per window).  Python only
-            assembles panel masks and lengths."""
+        def extract_native(chunk):
+            """Extraction-stage worker: ONE C++ call per target-contiguous
+            window group (sorted non-overlapping groups take the range
+            walker inside — one CIGAR walk per PAF record per BATCH, not
+            per window)."""
             with timers.stage("extract"):
                 groups: List[Tuple[str, list]] = []
                 for reg, rs in chunk:
@@ -1417,6 +1416,13 @@ def cmd_scan(args) -> int:
                         tgt, [(reg.start, reg.end) for reg, _ in items],
                         min_cap_n=cap_hint[0], min_cap_s=cap_hint[1],
                         want_weights=use_weights))
+            return groups, parts
+
+        def prepare_chunk_native(extracted, chunk, n_chunks):
+            """Build-stage worker: pad/mask assembly + fused pack + H2D for
+            one extracted batch (Python/numpy only — runs on its own
+            worker so it overlaps the NEXT chunk's C++ extraction)."""
+            groups, parts = extracted
             with timers.stage("build"):
                 failures: List[Tuple[str, str]] = []
                 kept: List[Tuple[Region, str]] = []
@@ -1479,21 +1485,27 @@ def cmd_scan(args) -> int:
                                       wts))
             return dev_args, kept, failures, disjoint, (cap_n, cap_s)
 
-        def prepare_chunk(chunk, n_chunks):
-            """Worker-side: extract + pad + submit H2D for one batch.
+        native_path = (geno_src is None and extractor is not None
+                       and hasattr(extractor, "extract_batch_padded"))
 
-            Runs on the prefetch thread so extraction AND the host→device
-            transfer of batch k+1 overlap the device compute of batch k
-            (device_put is async and thread-safe); its stage timers
-            therefore overlap the main thread's device stage — in a
-            pipeline the stage totals intentionally exceed nothing and sum
-            to more than elapsed.
-            """
-            if (geno_src is None and extractor is not None
-                    and hasattr(extractor, "extract_batch_padded")):
-                return prepare_chunk_native(chunk, n_chunks)
+        def extract_stage(chunk):
+            """Extraction-stage worker (either path)."""
+            if native_path:
+                return extract_native(chunk)
             with timers.stage("extract"):
-                tiles, kept, failures = load_chunk(chunk)
+                return load_chunk(chunk)
+
+        def prepare_chunk(extracted, chunk, n_chunks):
+            """Build-stage worker: pad + fused pack + H2D for one batch.
+
+            Build/pack/put of batch k overlap BOTH the extraction of batch
+            k+1 (separate worker) and the device compute of batch k-1
+            (device_put is async and thread-safe); stage timers therefore
+            overlap each other and sum to more than elapsed.
+            """
+            if native_path:
+                return prepare_chunk_native(extracted, chunk, n_chunks)
+            tiles, kept, failures = extracted
             if not tiles:
                 return None, kept, failures, False, (0, 0)
             with timers.stage("build"):
@@ -1535,24 +1547,32 @@ def cmd_scan(args) -> int:
                                       wts))
             return dev_args, kept, failures, disjoint, (cap_n, cap_s)
 
-        # pipeline: the worker thread extracts AND stages batch k+1 in HBM
-        # while the device computes batch k (the reference is fully
-        # sequential per window); at most 2 prepared batches are in flight
-        # so prefetch cannot outrun HBM
+        # two-stage worker pipeline: chunk k+1's C++ extraction runs on one
+        # worker while chunk k's numpy build/pack/H2D runs on another and
+        # the device computes chunk k-1 (the reference is fully sequential
+        # per window); at most 2 prepared batches are in flight so prefetch
+        # cannot outrun HBM.  The build worker blocks on its extraction
+        # future (separate pools — no deadlock).
         import collections as _coll
         import concurrent.futures as _fut
 
         chunks = [pending[lo:lo + batch_size]
                   for lo in range(0, len(pending), batch_size)]
-        pool = _fut.ThreadPoolExecutor(max_workers=1)
+        pool_x = _fut.ThreadPoolExecutor(max_workers=1)
+        pool_b = _fut.ThreadPoolExecutor(max_workers=1)
         inflight = _coll.deque()
         next_submit = 0
+
+        def _chained(fx, chunk, n_chunks):
+            return prepare_chunk(fx.result(), chunk, n_chunks)
 
         def _top_up():
             nonlocal next_submit
             while next_submit < len(chunks) and len(inflight) < 2:
-                inflight.append(pool.submit(prepare_chunk,
-                                            chunks[next_submit], len(chunks)))
+                chunk = chunks[next_submit]
+                fx = pool_x.submit(extract_stage, chunk)
+                inflight.append(
+                    pool_b.submit(_chained, fx, chunk, len(chunks)))
                 next_submit += 1
 
         _top_up()
@@ -1690,7 +1710,8 @@ def cmd_scan(args) -> int:
         _flush_group()
         if pending_out is not None:
             _drain_group(*pending_out)
-        pool.shutdown(wait=False)
+        pool_x.shutdown(wait=False)
+        pool_b.shutdown(wait=False)
         trace_ctx.__exit__(None, None, None)
         _print_counters(n_done, n_failed)
     finally:

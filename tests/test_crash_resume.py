@@ -61,6 +61,8 @@ def test_sigkill_mid_scan_then_resume(tmp_path):
     while time.time() < deadline:
         if journal.exists() and journal.stat().st_size > 0:
             lines = journal.read_text().splitlines()
+            if len(lines) >= 8:
+                break  # all windows journaled -> too late to kill mid-scan
             if len(lines) >= 2 and proc.poll() is None:
                 os.kill(proc.pid, signal.SIGKILL)
                 killed = True
