@@ -304,7 +304,7 @@ def bench_e2e_scan():
         # best of two warm passes: single passes swing ~2x under this
         # shared host's CPU steal (identical binaries measured 2.5-5.4 s
         # for the same 2000-window scan back to back)
-        warms = [run("warm1"), run("warm2")]
+        warms = [run("warm1"), run("warm2"), run("warm3")]
         t_warm = min(warms, key=lambda t: t["elapsed_sec"])
         windows = t_warm["windows"]
         compile_cold = (t_cold["stages"].get("compile", {})
