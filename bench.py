@@ -150,14 +150,15 @@ def bench_device(step, batch, iters=ITERS):
     return windows_per_sec, out
 
 
-def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192, wbatch=8):
+def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192, wbatch=64):
     """Long-window regime: fused int8-MXU identity + S on [n, s] tiles.
 
     s=8192 variant sites ≈ 500 kb of HPRC-density variation — 50-100x the
     reference's 10 kb window cap.  ``wbatch`` windows run per dispatch
     (vmap), matching how the scan feeds the device — a single [512, 8192]
-    window is ~20 µs of MXU work, far below the remote tunnel's ~1.5 ms
-    dispatch floor, so per-window dispatches measure the tunnel."""
+    window is ~50 µs of MXU work, far below the remote tunnel's dispatch
+    floor; throughput keeps rising through wbatch 64 (measured 8/32/64 ->
+    18.5/40.6/50.0 %MFU at the old 6-flop model's scale)."""
     import jax
     import jax.numpy as jnp
 
@@ -192,10 +193,11 @@ def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192, wbatch=8):
     dt = time.perf_counter() - t0
     per_win = dt / (iters * wbatch)
     gcells = n * n * s / 1e9
-    # achieved FLOP rate at the kernel's own cost model (6 flops/cell,
-    # ops/pairdiff.py) against the chip's bf16 peak, so the artifact shows
+    # achieved FLOP rate at the kernel's own cost model (4 flops/cell:
+    # the z/v formulation's two MXU matmuls, ops/pairdiff.py cost
+    # estimate) against the chip's bf16 peak, so the artifact shows
     # distance to speed-of-light rather than only a cells/sec figure
-    flops_per_cell = 6.0
+    flops_per_cell = 4.0
     peak_tflops = float(os.environ.get("IMPOP_BENCH_PEAK_TFLOPS", 197.0))
     tflops = gcells * flops_per_cell / per_win / 1e3
     return {

@@ -90,6 +90,55 @@ def _kernel(xi_ref, xj_ref, w_ref, mi_ref, mj_ref, len_ref,
         pres_ref[:] = (present | diag).astype(jnp.int8)
 
 
+def _kernel_prepped(zi_ref, zj_ref, vi_ref, vj_ref,
+                    mi_ref, mj_ref, len_ref, sim_ref, pres_ref,
+                    acc_zz, acc_vv):
+    """Unit-weight tile on PRE-BUILT bf16 z/v operands: two MXU matmuls
+    and nothing else.  z = +1 (valid alt) / -1 (valid ref) / 0 (invalid),
+    v = validity; z·zᵀ = agreements − differences over mutually-valid
+    sites, so diff = (v·vᵀ − z·zᵀ)/2 exactly (±1/0 are exact in bf16,
+    counts < 2^24 exact in the f32 accumulator).
+
+    Two design points vs the general kernel: the one elementwise prep
+    pass runs in XLA (the general kernel re-prepped f32 operands on the
+    VPU inside every (i, j) output tile — ~3x the MXU's own time at
+    [512, 8192]); and two operand streams of 2 B/cell keep the kernel
+    MXU-bound instead of HBM-bound (a 3-stream a/c/v variant measured
+    ~25% MFU where this formulation reaches higher)."""
+    s_idx = pl.program_id(2)
+    n_s = pl.num_programs(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        acc_zz[:] = jnp.zeros_like(acc_zz)
+        acc_vv[:] = jnp.zeros_like(acc_vv)
+
+    acc_zz[:] += jax.lax.dot_general(
+        zi_ref[:], zj_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_vv[:] += jax.lax.dot_general(
+        vi_ref[:], vj_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(s_idx == n_s - 1)
+    def _():
+        mi = mi_ref[0, :]
+        mj = mj_ref[0, :]
+        length = len_ref[0, 0]
+        cmp_ = acc_vv[:]
+        diff = (cmp_ - acc_zz[:]) * 0.5
+        present = (cmp_ > 0) & (mi[:, None] > 0) & (mj[None, :] > 0)
+        sim = jnp.where(present, 1.0 - diff / jnp.maximum(length, 1.0), 0.0)
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        block = sim.shape[0]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0) + ti * block
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) + tj * block
+        diag = (row_ids == col_ids) & (mi[:, None] > 0)
+        sim_ref[:] = jnp.where(diag, 1.0, sim)
+        pres_ref[:] = (present | diag).astype(jnp.int8)
+
+
 def _kernel_i8(zi_ref, zj_ref, vi_ref, vj_ref, mi_ref, mj_ref, len_ref,
                sim_ref, pres_ref, acc_zz, acc_vv):
     """Unit-weight tile: two INT8 MXU Gram matmuls, no in-kernel prep.
@@ -230,14 +279,61 @@ def pairwise_identity_pallas(
     geno = jnp.where(site_mask[None, :], geno, jnp.int8(-1))
     member_f = member.astype(jnp.float32)[None, :]  # [1, N] for SMEM-friendly 2D
     length_v = jnp.asarray(length, jnp.float32).reshape(1, 1)
-    w = (jnp.ones((1, s), jnp.float32) if site_weights is None
-         else site_weights.astype(jnp.float32).reshape(1, s))
 
-    # bf16 operands are exact for 0/1 indicators; integral site weights up
-    # to 256 also round-trip bf16 exactly, but arbitrary weights must keep
-    # f32 (column-mode identity uses indel base lengths — small ints, yet
-    # the guarantee is per-value, so gate on the common unit-weight case)
-    operand_dtype = jnp.bfloat16 if site_weights is None else jnp.float32
+    if site_weights is None:
+        # unit weights: one fused XLA prep pass + the matmul-pure z/v
+        # kernel.  Large 512-row tiles so operand row-blocks stream into
+        # VMEM once per grid column instead of once per output tile.
+        v = (geno >= 0).astype(jnp.bfloat16)
+        a = jnp.maximum(geno, 0).astype(jnp.bfloat16)
+        z = a + a - v  # +1 alt / -1 ref / 0 invalid
+        tn = next(t for t in (512, 256, 128) if n % t == 0)
+        grid = (n // tn, n // tn, s // tile_s)
+        op_spec_i = pl.BlockSpec((tn, tile_s), lambda i, j, k: (i, k),
+                                 memory_space=pltpu.VMEM)
+        op_spec_j = pl.BlockSpec((tn, tile_s), lambda i, j, k: (j, k),
+                                 memory_space=pltpu.VMEM)
+        sim, pres = pl.pallas_call(
+            _kernel_prepped,
+            grid=grid,
+            in_specs=[
+                op_spec_i, op_spec_j, op_spec_i, op_spec_j,
+                pl.BlockSpec((1, tn), lambda i, j, k: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tn), lambda i, j, k: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tn, tn), lambda i, j, k: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, tn), lambda i, j, k: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, n), jnp.float32),
+                jax.ShapeDtypeStruct((n, n), jnp.int8),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tn, tn), jnp.float32),
+                pltpu.VMEM((tn, tn), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * n * n * s,
+                bytes_accessed=4 * n * s + 5 * n * n,
+                transcendentals=0,
+            ),
+        )(z, z, v, v, member_f, member_f, length_v)
+        return sim, pres.astype(bool)
+
+    w = site_weights.astype(jnp.float32).reshape(1, s)
+
+    # weighted (column-mode) path: arbitrary weights must keep f32
+    # (indel base lengths are small ints, but the bf16-exactness guarantee
+    # is per-value); the in-kernel prep stays because aw/cw double the
+    # operand streams and this path is the rare one
+    operand_dtype = jnp.float32
 
     grid = (n // tile_n, n // tile_n, s // tile_s)
     sim, pres = pl.pallas_call(
