@@ -263,6 +263,40 @@ void ix_batch_fill(void* batch, long long i, signed char* geno,
   }
 }
 
+// Fill EVERY window of the batch into caller-allocated padded tiles
+// ([count, cap_n, cap_s] geno pre-filled -1, [count, cap_n] member and
+// [count, cap_s] smask pre-zeroed, optional [count, cap_s] wts pre-one) —
+// one call + a parallel loop instead of `count` ctypes round trips.
+void ix_batch_fill_all(void* batch, signed char* geno, unsigned char* member,
+                       unsigned char* smask, float* wts, long long cap_n,
+                       long long cap_s, int threads) {
+  auto* b = static_cast<IxBatch*>(batch);
+  const long long count = static_cast<long long>(b->results.size());
+  if (threads <= 0) {
+    threads =
+        static_cast<int>(std::max(1u, std::thread::hardware_concurrency()));
+  }
+  threads = static_cast<int>(std::min<long long>(threads, count));
+  std::atomic<long long> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const long long i = next.fetch_add(1);
+      if (i >= count) break;
+      ix_batch_fill(batch, i, geno + i * cap_n * cap_s,
+                    member + i * cap_n, smask + i * cap_s,
+                    wts ? wts + i * cap_s : nullptr, cap_n, cap_s);
+    }
+  };
+  if (threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(static_cast<size_t>(threads));
+    for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
 void ix_batch_free(void* batch) {
   auto* b = static_cast<IxBatch*>(batch);
   for (IxResult* r : b->results) delete r;

@@ -100,6 +100,12 @@ def load_library(rebuild: bool = False) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
         ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_longlong,
     ]
+    lib.ix_batch_fill_all.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_byte),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_int,
+    ]
     lib.ix_batch_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -265,22 +271,23 @@ class NativeExtractor:
             wts = (np.ones((count, cap_s), dtype=np.float32)
                    if want_weights else None)
             null_f = ctypes.POINTER(ctypes.c_float)()
+            # one parallel C call fills every window's padded tile (failed
+            # windows are null results inside and stay at the -1/0 padding)
+            self._lib.ix_batch_fill_all(
+                batch,
+                geno.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+                member.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                smask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                wts.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                if want_weights else null_f,
+                cap_n, cap_s, threads,
+            )
             names: List[List[str]] = []
             blob_cache: dict = {}
             for i in range(count):
                 if dims[i] == (0, 0) and errors[i]:
                     names.append([])
                     continue
-                self._lib.ix_batch_fill(
-                    batch, i,
-                    geno[i].ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
-                    member[i].ctypes.data_as(
-                        ctypes.POINTER(ctypes.c_ubyte)),
-                    smask[i].ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-                    wts[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-                    if want_weights else null_f,
-                    cap_n, cap_s,
-                )
                 res = self._lib.ix_batch_result(batch, i)
                 blob = self._lib.ix_names_blob(res) or b""
                 cached = blob_cache.get(blob)
