@@ -172,9 +172,7 @@ void* ix_extract_batch(void* handle, const char* target,
   }
 
   // General path: per-window extraction, parallel over windows.
-  if (threads <= 0) {
-    threads = static_cast<int>(std::max(1u, std::thread::hardware_concurrency()));
-  }
+  threads = impop::resolve_threads(threads);
   threads = static_cast<int>(std::min<long long>(threads, count));
   std::atomic<long long> next{0};
   auto worker = [&]() {
@@ -272,10 +270,7 @@ void ix_batch_fill_all(void* batch, signed char* geno, unsigned char* member,
                        long long cap_s, int threads) {
   auto* b = static_cast<IxBatch*>(batch);
   const long long count = static_cast<long long>(b->results.size());
-  if (threads <= 0) {
-    threads =
-        static_cast<int>(std::max(1u, std::thread::hardware_concurrency()));
-  }
+  threads = impop::resolve_threads(threads);
   threads = static_cast<int>(std::min<long long>(threads, count));
   std::atomic<long long> next{0};
   auto worker = [&]() {

@@ -239,4 +239,10 @@ class Extractor {
   FastaReader fasta_;
 };
 
+// Thread-count policy shared by every parallel stage: explicit argument >
+// IMPOP_EXTRACT_THREADS env var > hardware concurrency.  Defined in
+// window.cc; the C ABI batch entry points must route through this too so
+// the env var bounds the whole extraction pipeline on shared hosts.
+int resolve_threads(int threads);
+
 }  // namespace impop

@@ -670,14 +670,6 @@ WindowMatrix build_window(const std::vector<const RecWalk*>& by_name,
   return wm;
 }
 
-int resolve_threads(int threads) {
-  if (threads > 0) return threads;
-  if (const char* env = std::getenv("IMPOP_EXTRACT_THREADS")) {
-    return std::max(1, std::atoi(env));
-  }
-  return static_cast<int>(std::max(1u, std::thread::hardware_concurrency()));
-}
-
 // Run fn(i) for i in [0, count) on up to `threads` workers.
 template <typename Fn>
 void parallel_for(int threads, size_t count, Fn fn) {
@@ -702,6 +694,14 @@ void parallel_for(int threads, size_t count, Fn fn) {
 }
 
 }  // namespace
+
+int resolve_threads(int threads) {
+  if (threads > 0) return threads;
+  if (const char* env = std::getenv("IMPOP_EXTRACT_THREADS")) {
+    return std::max(1, std::atoi(env));
+  }
+  return static_cast<int>(std::max(1u, std::thread::hardware_concurrency()));
+}
 
 Extractor::Extractor(const std::string& paf_path, const std::string& fasta_path)
     : paf_(paf_path), fasta_(fasta_path) {}

@@ -25,5 +25,3 @@ Public layers
 """
 
 __version__ = "0.1.0"
-
-from impop_tpu.config import ScanConfig  # noqa: F401

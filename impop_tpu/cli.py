@@ -1018,7 +1018,10 @@ def _scan_buf_layout(cap_n: int, cap_s: int, p_count: int,
     """Byte offsets of the per-window fused input buffer.
 
     Segments: 2-bit allele codes, member bitmask, site bitmask, panel
-    bitmasks, window length (uint32 LE), optional site weights (uint16 LE).
+    bitmasks, window length (uint32 LE), optional site weights (f32 LE —
+    full precision: weights are indel base lengths and an integer wire
+    type would silently clamp SVs > its range; 4*cap_s bytes is noise
+    next to the geno segment).
     cap_n % 8 == 0 and cap_s % 128 == 0 by _capacity_for / cap rounding.
     """
     o_g = 0
@@ -1027,7 +1030,7 @@ def _scan_buf_layout(cap_n: int, cap_s: int, p_count: int,
     o_p = o_sm + cap_s // 8
     o_l = o_p + p_count * (cap_n // 8)
     o_w = o_l + 4
-    total = o_w + (2 * cap_s if use_weights else 0)
+    total = o_w + (4 * cap_s if use_weights else 0)
     return {"g": o_g, "m": o_m, "sm": o_sm, "p": o_p, "l": o_l, "w": o_w,
             "total": total}
 
@@ -1061,9 +1064,8 @@ def pack_scan_batch(geno: np.ndarray, member: np.ndarray, smask: np.ndarray,
     ]
     if use_weights:
         segs.append(
-            np.ascontiguousarray(
-                np.minimum(wts, np.float32(65535)).astype(np.uint16)
-            ).view(np.uint8).reshape(w, -1)
+            np.ascontiguousarray(wts.astype(np.float32))
+            .view(np.uint8).reshape(w, -1)
         )
     return np.concatenate(segs, axis=1)
 
@@ -1117,9 +1119,11 @@ def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
         length = (lb[0] | (lb[1] << 8) | (lb[2] << 16)
                   | (lb[3] << 24)).astype(jnp.float32)
         if use_weights:
-            wb = flat[lay["w"]:lay["w"] + 2 * cap_s].reshape(
-                cap_s, 2).astype(jnp.uint32)
-            wts = (wb[:, 0] | (wb[:, 1] << 8)).astype(jnp.float32)
+            wb = flat[lay["w"]:lay["w"] + 4 * cap_s].reshape(
+                cap_s, 4).astype(jnp.uint32)
+            bits = (wb[:, 0] | (wb[:, 1] << 8) | (wb[:, 2] << 16)
+                    | (wb[:, 3] << 24))
+            wts = jax.lax.bitcast_convert_type(bits, jnp.float32)
         else:
             wts = None
 

@@ -287,7 +287,10 @@ def pairwise_identity_pallas(
         v = (geno >= 0).astype(jnp.bfloat16)
         a = jnp.maximum(geno, 0).astype(jnp.bfloat16)
         z = a + a - v  # +1 alt / -1 ref / 0 invalid
-        tn = next(t for t in (512, 256, 128) if n % t == 0)
+        # prefer large MXU-friendly tiles; fall back to the caller's tile_n
+        # for small/odd N (n % tile_n == 0 is asserted above) instead of
+        # raising StopIteration on e.g. n = 64
+        tn = next((t for t in (512, 256, 128) if n % t == 0), tile_n)
         grid = (n // tn, n // tn, s // tile_s)
         op_spec_i = pl.BlockSpec((tn, tile_s), lambda i, j, k: (i, k),
                                  memory_space=pltpu.VMEM)

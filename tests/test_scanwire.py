@@ -26,8 +26,7 @@ def _unpack_host(flat, cap_n, cap_s, p_count, use_weights):
     length = float(flat[lay["l"]:lay["l"] + 4].view(np.uint32)[0])
     wts = None
     if use_weights:
-        wts = flat[lay["w"]:lay["w"] + 2 * cap_s].view(np.uint16).astype(
-            np.float32)
+        wts = flat[lay["w"]:lay["w"] + 4 * cap_s].view(np.float32).copy()
     return geno, member, smask, panels, length, wts
 
 
@@ -40,7 +39,8 @@ def test_pack_roundtrip(use_weights):
     smask = rng.random((w, cap_s)) < 0.6
     panels = rng.random((w, p, cap_n)) < 0.4
     lengths = rng.integers(1, 10_000_000, size=w).astype(np.float32)
-    wts = rng.integers(1, 70_000, size=(w, cap_s)).astype(np.float32)
+    # include SV-scale indel weights far beyond the old uint16 wire range
+    wts = rng.integers(1, 2_000_000, size=(w, cap_s)).astype(np.float32)
 
     flat = pack_scan_batch(geno, member, smask, panels, lengths,
                            wts if use_weights else None, use_weights)
@@ -57,9 +57,9 @@ def test_pack_roundtrip(use_weights):
         np.testing.assert_array_equal(p2, panels[wi])
         assert ln2 == float(lengths[wi])
         if use_weights:
-            # uint16 wire clamp (documented: indel weights cap at 65535)
-            np.testing.assert_array_equal(
-                wt2, np.minimum(wts[wi], 65535).astype(np.float32))
+            # f32 wire weights: exact, no clamp — SV indel lengths far past
+            # 65535 must survive the wire (advisor r3 finding)
+            np.testing.assert_array_equal(wt2, wts[wi])
 
 
 def test_pack_rejects_multiallelic():
@@ -68,6 +68,47 @@ def test_pack_rejects_multiallelic():
         pack_scan_batch(geno, np.ones((1, 8), bool), np.ones((1, 4), bool),
                         np.ones((1, 1, 8), bool),
                         np.ones(1, np.float32), None, False)
+
+
+def test_device_unpack_weights_f32_exact():
+    """Site weights cross the wire as f32 — the step's π must equal the
+    same computation fed the weights directly (the old uint16 wire clamped
+    at 65535 and failed this for SV-scale indel weights; advisor r3)."""
+    jax = pytest.importorskip("jax")
+    import jax.numpy as jnp
+
+    from impop_tpu.cli import _scan_step
+    from impop_tpu.stats.allele import identity_from_alleles
+    from impop_tpu.stats.panelstats import fused_panel_stats
+
+    rng = np.random.default_rng(23)
+    w, cap_n, cap_s = 2, 64, 128
+    geno = np.full((w, cap_n, cap_s), -1, np.int8)
+    geno[:, :32, :64] = rng.integers(0, 2, size=(w, 32, 64)).astype(np.int8)
+    member = np.zeros((w, cap_n), bool); member[:, :32] = True
+    smask = np.zeros((w, cap_s), bool); smask[:, :64] = True
+    panels = np.zeros((w, 1, cap_n), bool); panels[:, 0, :32] = True
+    lengths = np.full(w, 5_000_000.0, np.float32)
+    wts = np.ones((w, cap_s), np.float32)
+    wts[:, 3] = 250_000.0   # an SV far beyond the old uint16 range
+    wts[:, 7] = 70_000.0
+
+    flat = pack_scan_batch(geno, member, smask, panels, lengths, wts, True)
+    step = _scan_step(cap_n, cap_s, 1, (), 0.999, True, False, 512, True,
+                      False, tuple(jax.local_devices()[:1]))
+    out = np.asarray(step(flat))
+
+    for wi in range(w):
+        sim, present = identity_from_alleles(
+            jnp.asarray(geno[wi]), jnp.asarray(member[wi]),
+            jnp.asarray(smask[wi]), jnp.float32(lengths[wi]),
+            site_weights=jnp.asarray(wts[wi]))
+        res = fused_panel_stats(sim, present, jnp.asarray(member[wi]),
+                                jnp.asarray(panels[wi]),
+                                jnp.asarray([0], jnp.int32),
+                                jnp.asarray([0], jnp.int32),
+                                jnp.float32(0.999), pairs_disjoint=False)
+        np.testing.assert_allclose(out[wi, 0], float(res.pi[0]), rtol=1e-6)
 
 
 def test_device_unpack_matches_host_decode():
