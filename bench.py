@@ -193,10 +193,12 @@ def bench_long_window(iters=max(ITERS // 2, 2), n=512, s=8192, wbatch=64):
     dt = time.perf_counter() - t0
     per_win = dt / (iters * wbatch)
     gcells = n * n * s / 1e9
-    # achieved FLOP rate at the kernel's own cost model (4 flops/cell:
-    # the z/v formulation's two MXU matmuls, ops/pairdiff.py cost
-    # estimate) against the chip's bf16 peak, so the artifact shows
-    # distance to speed-of-light rather than only a cells/sec figure
+    # EFFECTIVE FLOP rate at the full-product cost model (4 flops/cell:
+    # the z/v formulation's two MXU Grams over all N² cells) against the
+    # chip's bf16 peak — distance to speed-of-light for the logical
+    # product.  The triangular kernel (ops/pairdiff) executes only ~0.625
+    # of these flops and mirrors the rest, so mfu_pct here can exceed the
+    # hardware MXU occupancy (doc/architecture.md "Performance notes").
     flops_per_cell = 4.0
     peak_tflops = float(os.environ.get("IMPOP_BENCH_PEAK_TFLOPS", 197.0))
     tflops = gcells * flops_per_cell / per_win / 1e3

@@ -223,12 +223,26 @@ void* ix_batch_result(void* batch, long long i) {
   return b->results[static_cast<size_t>(i)];
 }
 
+// Column-mode identity weight from a variant key ("pos:ref>alt"): a SNP
+// weighs 1 alignment column, an indel of k bases weighs k — the C++ side
+// of impop_tpu.extract.site_weights_from_keys, kept bit-identical.
+static float key_weight(const std::string& key) {
+  const size_t colon = key.find(':');
+  const size_t gt = key.find('>', colon + 1);
+  long long ref_len = static_cast<long long>(gt - colon - 1);
+  long long alt_len = static_cast<long long>(key.size() - gt - 1);
+  // "<INSk>" placeholder (window without query sequence): weight = k
+  if (alt_len > 5 && key.compare(gt + 1, 4, "<INS") == 0 &&
+      key.back() == '>') {
+    alt_len = std::atoll(key.c_str() + gt + 5);
+  }
+  return static_cast<float>(std::max({ref_len, alt_len, 1LL}));
+}
+
 // Copy window i's matrix into a padded [cap_n, cap_s] int8 tile pre-filled
 // by the caller (uncovered cells are -1); also sets member/site masks and,
-// when `wts` is non-null, the per-column identity weights (columns-mode: a
-// SNP weighs 1 alignment column, an indel of k bases weighs k — the C++
-// side of impop_tpu.extract.site_weights_from_keys, kept bit-identical).
-// Keeps the padding + key-parsing loops out of Python.
+// when `wts` is non-null, the per-column identity weights.  Keeps the
+// padding + key-parsing loops out of Python.
 void ix_batch_fill(void* batch, long long i, signed char* geno,
                    unsigned char* member, unsigned char* smask, float* wts,
                    long long cap_n, long long cap_s) {
@@ -246,17 +260,7 @@ void ix_batch_fill(void* batch, long long i, signed char* geno,
   std::memset(smask, 1, static_cast<size_t>(wm.s));
   if (wts) {
     for (long long c = 0; c < wm.s; ++c) {
-      const std::string& key = wm.site_keys[static_cast<size_t>(c)];
-      const size_t colon = key.find(':');
-      const size_t gt = key.find('>', colon + 1);
-      long long ref_len = static_cast<long long>(gt - colon - 1);
-      long long alt_len = static_cast<long long>(key.size() - gt - 1);
-      // "<INSk>" placeholder (window without query sequence): weight = k
-      if (alt_len > 5 && key.compare(gt + 1, 4, "<INS") == 0 &&
-          key.back() == '>') {
-        alt_len = std::atoll(key.c_str() + gt + 5);
-      }
-      wts[c] = static_cast<float>(std::max({ref_len, alt_len, 1LL}));
+      wts[c] = key_weight(wm.site_keys[static_cast<size_t>(c)]);
     }
   }
 }
@@ -280,6 +284,81 @@ void ix_batch_fill_all(void* batch, signed char* geno, unsigned char* member,
       ix_batch_fill(batch, i, geno + i * cap_n * cap_s,
                     member + i * cap_n, smask + i * cap_s,
                     wts ? wts + i * cap_s : nullptr, cap_n, cap_s);
+    }
+  };
+  if (threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(static_cast<size_t>(threads));
+    for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
+// Pack windows of the batch DIRECTLY into the scan's fused uint8 wire
+// buffer (layout: impop_tpu.cli._scan_buf_layout) — 2-bit allele codes at
+// row offset 0, member bitmask at o_m, site bitmask at o_sm and, when
+// o_w >= 0, f32 column-mode identity weights at o_w.  The caller
+// pre-zeroes the buffer (code 0 decodes to allele -1, so padding is free),
+// fills the panel-bitmask and length segments itself (panel membership is
+// host metadata the library does not know), and maps batch window i to
+// buffer row out_rows[i] (< 0 = skip, e.g. failed windows).  One parallel
+// C call replaces the ~6 numpy passes of the Python pack_scan_batch on the
+// scan's hot path (which ran on the CPU-starved build worker).
+void ix_batch_pack_all(void* batch, unsigned char* out, long long stride,
+                       const long long* out_rows, long long cap_n,
+                       long long cap_s, long long o_m, long long o_sm,
+                       long long o_w, int threads) {
+  auto* b = static_cast<IxBatch*>(batch);
+  const long long count = static_cast<long long>(b->results.size());
+  (void)cap_n;
+  threads = impop::resolve_threads(threads);
+  threads = static_cast<int>(std::min<long long>(threads, count));
+  std::atomic<long long> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const long long i = next.fetch_add(1);
+      if (i >= count) break;
+      if (out_rows[i] < 0) continue;
+      IxResult* r = b->results[static_cast<size_t>(i)];
+      if (!r) continue;
+      const auto& wm = r->wm;
+      unsigned char* p = out + out_rows[i] * stride;
+      const long long gb = cap_s / 4;  // bytes per geno row (4 codes/byte)
+      for (long long row = 0; row < wm.n; ++row) {
+        const signed char* src =
+            wm.geno.data() + row * std::max<int64_t>(wm.s, 1);
+        unsigned char* dst = p + row * gb;
+        const long long s4 = wm.s & ~3LL;
+        for (long long sq = 0; sq < s4; sq += 4) {
+          // codes: -1 -> 0, 0 -> 1, 1 -> 2 (2 bits each, LSB-first)
+          dst[sq >> 2] = static_cast<unsigned char>(
+              static_cast<unsigned char>(src[sq] + 1) |
+              (static_cast<unsigned char>(src[sq + 1] + 1) << 2) |
+              (static_cast<unsigned char>(src[sq + 2] + 1) << 4) |
+              (static_cast<unsigned char>(src[sq + 3] + 1) << 6));
+        }
+        for (long long sq = s4; sq < wm.s; ++sq) {
+          dst[sq >> 2] = static_cast<unsigned char>(
+              dst[sq >> 2] |
+              (static_cast<unsigned char>(src[sq] + 1) << ((sq & 3) * 2)));
+        }
+        p[o_m + (row >> 3)] = static_cast<unsigned char>(
+            p[o_m + (row >> 3)] | (1u << (row & 7)));
+      }
+      std::memset(p + o_sm, 0xFF, static_cast<size_t>(wm.s >> 3));
+      for (long long sq = wm.s & ~7LL; sq < wm.s; ++sq) {
+        p[o_sm + (sq >> 3)] = static_cast<unsigned char>(
+            p[o_sm + (sq >> 3)] | (1u << (sq & 7)));
+      }
+      if (o_w >= 0) {
+        float* w = reinterpret_cast<float*>(p + o_w);
+        for (long long c = 0; c < wm.s; ++c) {
+          w[c] = key_weight(wm.site_keys[static_cast<size_t>(c)]);
+        }
+        for (long long c = wm.s; c < cap_s; ++c) w[c] = 1.0f;
+      }
     }
   };
   if (threads <= 1) {

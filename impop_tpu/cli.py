@@ -316,6 +316,45 @@ class GenoSource:
                           f"in {self.directory}")
 
 
+def split_multiallelic(geno: np.ndarray, keys: Optional[List[str]]
+                       ) -> Tuple[np.ndarray, Optional[List[str]]]:
+    """Normalise multiallelic tile columns to the native extractor's
+    per-(pos, ref, alt) convention: a column with allele codes > 1 becomes
+    one 0/1 indicator column per carried alt allele (carriers 1, other
+    covered haplotypes 0, uncovered -1).
+
+    The fused scan ships 2-bit biallelic codes over the wire
+    (pack_scan_batch), but pica2's estimator is alphabet-agnostic
+    (reference pica2.py:60-169) and ``--geno-dir`` tiles from other
+    producers may carry codes {0, 1, 2, ...}.  Splitting reproduces
+    exactly what the native extractor would have emitted for the same
+    variation (each variant key its own column — doc/how_stats.md
+    "Identity definition", deviation 2: two haplotypes with different alt
+    alleles at one site differ at 2 matrix columns).  Split columns
+    duplicate the source column's site key (same position, same indel
+    weight).
+    """
+    if int(geno.max(initial=0)) <= 1:
+        return geno, keys
+    cols: List[np.ndarray] = []
+    out_keys: Optional[List[str]] = [] if keys is not None else None
+    for c in range(geno.shape[1]):
+        col = geno[:, c]
+        alts = np.unique(col[col > 0])
+        if alts.size <= 1 and int(col.max(initial=0)) <= 1:
+            cols.append(col)
+            if out_keys is not None:
+                out_keys.append(keys[c])
+            continue
+        valid = col >= 0
+        for a in alts:
+            cols.append(np.where(valid, (col == a).astype(np.int8),
+                                 np.int8(-1)))
+            if out_keys is not None:
+                out_keys.append(keys[c])
+    return np.stack(cols, axis=1), out_keys
+
+
 class GfaDirSource:
     """Per-window variation graphs: ``<region>.gfa``, ingested through the
     graph path (impg query -o gfa → odgi → povu equivalents,
@@ -1336,10 +1375,7 @@ def cmd_scan(args) -> int:
         _COMPILED_SIGS.add(sig)
         return True
 
-    def put_batch(arrays):
-        geno, member, smask, panels, lengths, wts = arrays
-        flat = pack_scan_batch(geno, member, smask, panels, lengths, wts,
-                               use_weights)
+    def put_flat(flat):
         if mesh is None:
             return (jax.device_put(flat),)
         w = flat.shape[0]
@@ -1350,6 +1386,12 @@ def cmd_scan(args) -> int:
                 [flat, np.zeros((w_pad - w, flat.shape[1]), np.uint8)],
                 axis=0)
         return (jax.device_put(flat, window_sharding(mesh, flat.ndim)),)
+
+    def put_batch(arrays):
+        geno, member, smask, panels, lengths, wts = arrays
+        flat = pack_scan_batch(geno, member, smask, panels, lengths, wts,
+                               use_weights)
+        return put_flat(flat)
 
     afs_total = (np.zeros((p_count, afs_bins + 1), np.int64)
                  if want_afs else None)
@@ -1386,6 +1428,10 @@ def cmd_scan(args) -> int:
                 try:
                     if geno_src is not None:
                         g, names, keys = geno_src.load(rs)
+                        # scan wire is 2-bit: normalise multiallelic
+                        # columns to the extractor's per-alt convention
+                        g, keys = split_multiallelic(
+                            np.asarray(g, np.int8), keys)
                     else:
                         wm = extractor.extract(rs.rsplit(":", 1)[0],
                                                reg.start, reg.end)
@@ -1405,7 +1451,8 @@ def cmd_scan(args) -> int:
             """Extraction-stage worker: ONE C++ call per target-contiguous
             window group (sorted non-overlapping groups take the range
             walker inside — one CIGAR walk per PAF record per BATCH, not
-            per window)."""
+            per window).  Returns OPEN native batch handles; the build
+            worker wire-packs them straight from C++ memory."""
             with timers.stage("extract"):
                 groups: List[Tuple[str, list]] = []
                 for reg, rs in chunk:
@@ -1414,65 +1461,62 @@ def cmd_scan(args) -> int:
                         groups[-1][1].append((reg, rs))
                     else:
                         groups.append((tgt, [(reg, rs)]))
-                parts = []
-                for tgt, items in groups:
-                    parts.append(extractor.extract_batch_padded(
-                        tgt, [(reg.start, reg.end) for reg, _ in items],
-                        min_cap_n=cap_hint[0], min_cap_s=cap_hint[1],
-                        want_weights=use_weights))
-            return groups, parts
+                batches = [
+                    extractor.extract_batch_open(
+                        tgt, [(reg.start, reg.end) for reg, _ in items])
+                    for tgt, items in groups
+                ]
+            return groups, batches
 
         def prepare_chunk_native(extracted, chunk, n_chunks):
-            """Build-stage worker: pad/mask assembly + fused pack + H2D for
-            one extracted batch (Python/numpy only — runs on its own
-            worker so it overlaps the NEXT chunk's C++ extraction)."""
-            groups, parts = extracted
+            """Build-stage worker: wire-pack + H2D for one extracted batch.
+
+            The 2-bit/bitmask/weight segments of the fused buffer are
+            written by ONE parallel C call straight from the native
+            batch's memory (ix_batch_pack_all) — no intermediate padded
+            int8 tiles and no numpy bit-packing passes on this
+            CPU-starved host; Python contributes only the panel bitmasks
+            and window lengths (host metadata the library cannot know)."""
+            groups, batches = extracted
             with timers.stage("build"):
                 failures: List[Tuple[str, str]] = []
                 kept: List[Tuple[Region, str]] = []
-                rows = []  # (part_idx, window_idx_within_part)
-                for gi, ((tgt, items), part) in enumerate(zip(groups, parts)):
-                    errs = part[5]
+                rows = []  # (group_idx, window_idx_within_group)
+                for gi, ((tgt, items), nb) in enumerate(zip(groups, batches)):
                     for k, (reg, rs) in enumerate(items):
-                        if errs[k]:
-                            failures.append((rs, errs[k]))
+                        if nb.errors[k]:
+                            failures.append((rs, nb.errors[k]))
                         else:
                             kept.append((reg, rs))
                             rows.append((gi, k))
                 if not kept:
+                    for nb in batches:
+                        nb.close()
                     return None, kept, failures, False, (0, 0)
-                cap_n = _capacity_for([p[0].shape[1] for p in parts])
-                cap_s = max(p[0].shape[2] for p in parts)
+                n_max = max(max((n for n, _ in nb.dims), default=1)
+                            for nb in batches)
+                s_max = max(max((s for _, s in nb.dims), default=1)
+                            for nb in batches)
+                cap_n = _capacity_for([max(cap_hint[0], n_max)])
+                cap_s = ((max(cap_hint[1], s_max, 128) + 127) // 128) * 128
                 cap_hint[0] = max(cap_hint[0], cap_n)
                 cap_hint[1] = max(cap_hint[1], cap_s)
                 w = batch_size if n_chunks > 1 else len(kept)
-                part0 = parts[0]
-                if (len(parts) == 1 and not failures and w == len(kept)
-                        and part0[0].shape[1] == cap_n
-                        and part0[0].shape[2] == cap_s):
-                    # whole-chunk success with stable caps: adopt the
-                    # C++-filled buffers without copying
-                    geno, member, smask = part0[0], part0[1], part0[2]
-                    wts = (part0[3] if use_weights
-                           else np.ones((w, cap_s), np.float32))
-                else:
-                    geno = np.full((w, cap_n, cap_s), -1, dtype=np.int8)
-                    member = np.zeros((w, cap_n), bool)
-                    smask = np.zeros((w, cap_s), bool)
-                    wts = np.ones((w, cap_s), np.float32)
-                    for wi, (gi, k) in enumerate(rows):
-                        g, mem, sm, wt = parts[gi][:4]
-                        geno[wi, :g.shape[1], :g.shape[2]] = g[k]
-                        member[wi, :g.shape[1]] = mem[k]
-                        smask[wi, :g.shape[2]] = sm[k]
-                        if use_weights:
-                            wts[wi, :g.shape[2]] = wt[k]
+                lay = _scan_buf_layout(cap_n, cap_s, p_count, use_weights)
+                flat = np.zeros((w, lay["total"]), np.uint8)
+                row_of = {key: wi for wi, key in enumerate(rows)}
+                for gi, nb in enumerate(batches):
+                    nb.pack_into(
+                        flat, [row_of.get((gi, k), -1)
+                               for k in range(nb.count)],
+                        cap_n, cap_s, lay["m"], lay["sm"],
+                        lay["w"] if use_weights else -1)
                 panels = np.zeros((w, p_count, cap_n), bool)
-                lengths = np.zeros(w, np.float32)
+                lengths = np.zeros(w, np.uint32)
                 mask_by_id: dict = {}
                 for wi, ((gi, k), (reg, rs)) in enumerate(zip(rows, kept)):
                     lengths[wi] = reg.length
-                    nm = parts[gi][4][k]
+                    nm = batches[gi].names(k)
                     if panel_lists:
                         m = mask_by_id.get(id(nm))
                         if m is None:
@@ -1481,16 +1525,22 @@ def cmd_scan(args) -> int:
                         panels[wi, :, :len(nm)] = m
                     else:
                         panels[wi, 0, :len(nm)] = True
+                for nb in batches:
+                    nb.close()
+                flat[:, lay["p"]:lay["l"]] = np.packbits(
+                    panels, axis=-1, bitorder="little").reshape(w, -1)
+                flat[:, lay["l"]:lay["l"] + 4] = (
+                    np.ascontiguousarray(lengths.astype("<u4"))
+                    .view(np.uint8).reshape(w, 4))
                 disjoint = bool(with_pairs) and not bool(
                     (panels[:, pair_a_np] & panels[:, pair_b_np]).any()
                 )
             with timers.stage("h2d"):
-                dev_args = put_batch((geno, member, smask, panels, lengths,
-                                      wts))
+                dev_args = put_flat(flat)
             return dev_args, kept, failures, disjoint, (cap_n, cap_s)
 
         native_path = (geno_src is None and extractor is not None
-                       and hasattr(extractor, "extract_batch_padded"))
+                       and hasattr(extractor, "extract_batch_open"))
 
         def extract_stage(chunk):
             """Extraction-stage worker (either path)."""

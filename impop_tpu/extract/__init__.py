@@ -106,9 +106,79 @@ def load_library(rebuild: bool = False) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_longlong,
         ctypes.c_int,
     ]
+    lib.ix_batch_pack_all.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_int,
+    ]
     lib.ix_batch_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+class NativeBatch:
+    """Open handle to one extracted window batch (ix_extract_batch).
+
+    Splits ``extract_batch_padded``'s extract-then-read into two pipeline
+    stages: the scan's extraction worker opens the batch (the C record
+    walk happens there), and the build worker later packs it STRAIGHT
+    into the fused scan wire buffer with :meth:`pack_into`
+    (ix_batch_pack_all) — no intermediate [w, cap_n, cap_s] int8 tiles,
+    no numpy bit-packing passes on the CPU-starved host.
+    """
+
+    def __init__(self, lib, handle, count: int):
+        self._lib = lib
+        self._handle = handle
+        self.count = count
+        self.dims: List[tuple] = []
+        self.errors: List[str] = [""] * count
+        n = ctypes.c_longlong()
+        s = ctypes.c_longlong()
+        for i in range(count):
+            if lib.ix_batch_dims(handle, i, ctypes.byref(n),
+                                 ctypes.byref(s)) != 0:
+                err = lib.ix_batch_error(handle, i)
+                self.errors[i] = err.decode() if err else "unknown"
+                self.dims.append((0, 0))
+            else:
+                self.dims.append((n.value, s.value))
+        self._blob_cache: dict = {}
+
+    def names(self, i: int) -> List[str]:
+        """Row names of window i (deduplicated across the batch)."""
+        res = self._lib.ix_batch_result(self._handle, i)
+        blob = self._lib.ix_names_blob(res) or b""
+        cached = self._blob_cache.get(blob)
+        if cached is None:
+            cached = blob.decode().splitlines()
+            self._blob_cache[blob] = cached
+        return cached
+
+    def pack_into(self, flat: np.ndarray, out_rows, cap_n: int, cap_s: int,
+                  o_m: int, o_sm: int, o_w: int = -1,
+                  threads: int = 0) -> None:
+        """Pack every window into the pre-zeroed [W, stride] uint8 wire
+        buffer ``flat`` (layout: cli._scan_buf_layout); ``out_rows[i]`` is
+        window i's buffer row, -1 to skip (failed windows)."""
+        assert flat.dtype == np.uint8 and flat.flags.c_contiguous
+        rows = (ctypes.c_longlong * self.count)(*out_rows)
+        self._lib.ix_batch_pack_all(
+            self._handle,
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            flat.strides[0], rows, cap_n, cap_s, o_m, o_sm, o_w, threads)
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.ix_batch_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeExtractor:
@@ -219,6 +289,29 @@ class NativeExtractor:
             return out
         finally:
             self._lib.ix_batch_free(batch)
+
+    def extract_batch_open(self, target: str, windows,
+                           threads: int = 0) -> "NativeBatch":
+        """Run the batch extraction and return the OPEN native handle.
+
+        The scan's two-stage pipeline calls this on the extraction worker
+        (the C record walk runs here) and later wire-packs the result on
+        the build worker via :meth:`NativeBatch.pack_into` — see
+        cli.extract_native.  Sorted non-overlapping batches take the
+        range walker inside (one CIGAR walk per PAF record per batch).
+        """
+        wins = [(int(s), int(e)) for s, e in windows]
+        count = len(wins)
+        if count == 0:
+            return NativeBatch(self._lib, None, 0)
+        starts = (ctypes.c_longlong * count)(*[s for s, _ in wins])
+        ends = (ctypes.c_longlong * count)(*[e for _, e in wins])
+        batch = self._lib.ix_extract_batch(
+            self._handle, target.encode(), starts, ends, count, threads
+        )
+        if not batch:
+            raise RuntimeError(f"extract_batch failed for {target}")
+        return NativeBatch(self._lib, batch, count)
 
     def extract_batch_padded(self, target: str, windows, threads: int = 0,
                              min_cap_n: int = 1, min_cap_s: int = 128,

@@ -90,34 +90,110 @@ def _kernel(xi_ref, xj_ref, w_ref, mi_ref, mj_ref, len_ref,
         pres_ref[:] = (present | diag).astype(jnp.int8)
 
 
-def _kernel_prepped(zi_ref, zj_ref, vi_ref, vj_ref,
-                    mi_ref, mj_ref, len_ref, sim_ref, pres_ref,
-                    acc_zz, acc_vv):
-    """Unit-weight tile on PRE-BUILT bf16 z/v operands: two MXU matmuls
-    and nothing else.  z = +1 (valid alt) / -1 (valid ref) / 0 (invalid),
-    v = validity; z·zᵀ = agreements − differences over mutually-valid
-    sites, so diff = (v·vᵀ − z·zᵀ)/2 exactly (±1/0 are exact in bf16,
-    counts < 2^24 exact in the f32 accumulator).
+def _make_kernel_tri_resident(pairs, tn):
+    """Statically-unrolled triangular z-Gram with the operand column
+    RESIDENT in VMEM.
 
-    Two design points vs the general kernel: the one elementwise prep
-    pass runs in XLA (the general kernel re-prepped f32 operands on the
-    VPU inside every (i, j) output tile — ~3x the MXU's own time at
-    [512, 8192]); and two operand streams of 2 B/cell keep the kernel
-    MXU-bound instead of HBM-bound (a 3-stream a/c/v variant measured
-    ~25% MFU where this formulation reaches higher)."""
-    s_idx = pl.program_id(2)
-    n_s = pl.num_programs(2)
+    The streaming triangular kernel re-reads each z row-block once per
+    tile pair, so at [512, 8192] its HBM operand traffic is ~3× the
+    matrix size and the MXU stalls on it (measured 21.5 Tcells/s,
+    ~33% hw MFU).  Here the grid is (k,) alone: one [N, Ts] column of z
+    is fetched per step and ALL i ≤ j tile pairs are unrolled statically
+    inside it, slicing their row blocks out of the resident column — z
+    crosses HBM exactly once per window, there is no scalar prefetch, no
+    dynamic indexing, and Mosaic can software-pipeline the whole dot
+    sequence.  Per-pair accumulators ([P, tn, tn] f32 ×2, statically
+    indexed) and the [N, N] outputs stay in VMEM until the final
+    write-back — fits (with a double-buffered operand column) for
+    N ≤ 512, which covers every scan shape (HPRC is N=466+ref; larger N
+    takes the streaming kernel / pair-shard path).  When Ts == S the
+    grid is a single step and the accumulator round-trips vanish
+    entirely.
+    """
+
+    def kernel(z_ref, m_ref, len_ref, sim_ref, pres_ref, accs_zz, accs_vv):
+        k = pl.program_id(0)
+        n_k = pl.num_programs(0)
+
+        @pl.when(k == 0)
+        def _():
+            accs_zz[:] = jnp.zeros_like(accs_zz)
+            accs_vv[:] = jnp.zeros_like(accs_vv)
+
+        dims = (((1,), (1,)), ((), ()))
+        t_blocks = max(i for _, i in pairs) + 1 if pairs else 0
+        # hoist |z| per row block: each block appears in ~T pairs, and the
+        # per-pair abs was ~1/3 of the MXU's own time on the VPU at
+        # [512, 8192] (20 abs/step -> 4)
+        z_blocks = [z_ref[b * tn:(b + 1) * tn, :] for b in range(t_blocks)]
+        v_blocks = [jnp.abs(zb) for zb in z_blocks]
+        for p, (i, j) in enumerate(pairs):
+            accs_zz[p] += jax.lax.dot_general(
+                z_blocks[i], z_blocks[j], dims,
+                preferred_element_type=jnp.float32)
+            accs_vv[p] += jax.lax.dot_general(
+                v_blocks[i], v_blocks[j], dims,
+                preferred_element_type=jnp.float32)
+
+        @pl.when(k == n_k - 1)
+        def _():
+            length = len_ref[0, 0]
+            for p, (i, j) in enumerate(pairs):
+                mi = m_ref[0, i * tn:(i + 1) * tn]
+                mj = m_ref[0, j * tn:(j + 1) * tn]
+                cmp_ = accs_vv[p]
+                diff = (cmp_ - accs_zz[p]) * 0.5
+                present = ((cmp_ > 0) & (mi[:, None] > 0)
+                           & (mj[None, :] > 0))
+                sim = jnp.where(
+                    present, 1.0 - diff / jnp.maximum(length, 1.0), 0.0)
+                row_ids = (jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+                           + i * tn)
+                col_ids = (jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+                           + j * tn)
+                diag = (row_ids == col_ids) & (mi[:, None] > 0)
+                sim_ref[i * tn:(i + 1) * tn, j * tn:(j + 1) * tn] = (
+                    jnp.where(diag, 1.0, sim))
+                pres_ref[i * tn:(i + 1) * tn, j * tn:(j + 1) * tn] = (
+                    (present | diag).astype(jnp.int8))
+
+    return kernel
+
+
+def _kernel_tri(it_ref, jt_ref, z_i_ref, z_j_ref, mi_ref, mj_ref, len_ref,
+                sim_ref, pres_ref, acc_zz, acc_vv):
+    """Unit-weight i ≤ j tile on PRE-BUILT bf16 z operands: two MXU
+    matmuls and nothing else.  z = +1 (valid alt) / -1 (valid ref) /
+    0 (invalid); v = |z| is rebuilt on the VPU (one abs per operand cell
+    — negligible next to the tn² MXU flops per cell, and it halves the
+    operand HBM traffic vs streaming a separate v).  z·zᵀ = agreements −
+    differences over mutually-valid sites, so diff = (v·vᵀ − z·zᵀ)/2
+    exactly (±1/0 are exact in bf16, counts < 2^24 exact in the f32
+    accumulator).
+
+    TRIANGULAR pair-space schedule: the output is symmetric (diff and
+    compared both are), so the grid enumerates only the T(T+1)/2 tile
+    pairs with i ≤ j — scalar-prefetched (it, jt) index tables — instead
+    of all T² blocks; the strict-lower half is mirrored by the caller's
+    cheap [N, N] transpose-select epilogue.  ~2× useful-FLOP at large T
+    (the reference's `impg similarity` computes every unordered pair once
+    for the same reason, run_pica2_impg.sh:162-168)."""
+    p = pl.program_id(0)
+    s_idx = pl.program_id(1)
+    n_s = pl.num_programs(1)
 
     @pl.when(s_idx == 0)
     def _():
         acc_zz[:] = jnp.zeros_like(acc_zz)
         acc_vv[:] = jnp.zeros_like(acc_vv)
 
+    zi = z_i_ref[:]
+    zj = z_j_ref[:]
     acc_zz[:] += jax.lax.dot_general(
-        zi_ref[:], zj_ref[:], (((1,), (1,)), ((), ())),
+        zi, zj, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc_vv[:] += jax.lax.dot_general(
-        vi_ref[:], vj_ref[:], (((1,), (1,)), ((), ())),
+        jnp.abs(zi), jnp.abs(zj), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(s_idx == n_s - 1)
@@ -129,11 +205,11 @@ def _kernel_prepped(zi_ref, zj_ref, vi_ref, vj_ref,
         diff = (cmp_ - acc_zz[:]) * 0.5
         present = (cmp_ > 0) & (mi[:, None] > 0) & (mj[None, :] > 0)
         sim = jnp.where(present, 1.0 - diff / jnp.maximum(length, 1.0), 0.0)
-        ti = pl.program_id(0)
-        tj = pl.program_id(1)
         block = sim.shape[0]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0) + ti * block
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) + tj * block
+        row_ids = (jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+                   + it_ref[p] * block)
+        col_ids = (jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+                   + jt_ref[p] * block)
         diag = (row_ids == col_ids) & (mi[:, None] > 0)
         sim_ref[:] = jnp.where(diag, 1.0, sim)
         pres_ref[:] = (present | diag).astype(jnp.int8)
@@ -281,53 +357,116 @@ def pairwise_identity_pallas(
     length_v = jnp.asarray(length, jnp.float32).reshape(1, 1)
 
     if site_weights is None:
-        # unit weights: one fused XLA prep pass + the matmul-pure z/v
-        # kernel.  Large 512-row tiles so operand row-blocks stream into
-        # VMEM once per grid column instead of once per output tile.
+        # unit weights: one fused XLA prep pass + the matmul-pure z
+        # kernel on a TRIANGULAR (i <= j) tile-pair grid.  tn trades tile
+        # efficiency against triangle coverage: executed-FLOP ratio is
+        # (T+1)/2T for T = n/tn tiles, so smaller tiles skip more of the
+        # redundant lower half (measured on v5e: tn=128 beats 256).
         v = (geno >= 0).astype(jnp.bfloat16)
         a = jnp.maximum(geno, 0).astype(jnp.bfloat16)
         z = a + a - v  # +1 alt / -1 ref / 0 invalid
-        # prefer large MXU-friendly tiles; fall back to the caller's tile_n
-        # for small/odd N (n % tile_n == 0 is asserted above) instead of
-        # raising StopIteration on e.g. n = 64
-        tn = next((t for t in (512, 256, 128) if n % t == 0), tile_n)
-        grid = (n // tn, n // tn, s // tile_s)
-        op_spec_i = pl.BlockSpec((tn, tile_s), lambda i, j, k: (i, k),
-                                 memory_space=pltpu.VMEM)
-        op_spec_j = pl.BlockSpec((tn, tile_s), lambda i, j, k: (j, k),
-                                 memory_space=pltpu.VMEM)
-        sim, pres = pl.pallas_call(
-            _kernel_prepped,
-            grid=grid,
-            in_specs=[
-                op_spec_i, op_spec_j, op_spec_i, op_spec_j,
-                pl.BlockSpec((1, tn), lambda i, j, k: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tn), lambda i, j, k: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((tn, tn), lambda i, j, k: (i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tn, tn), lambda i, j, k: (i, j),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((n, n), jnp.float32),
-                jax.ShapeDtypeStruct((n, n), jnp.int8),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((tn, tn), jnp.float32),
-                pltpu.VMEM((tn, tn), jnp.float32),
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=4 * n * n * s,
-                bytes_accessed=4 * n * s + 5 * n * n,
-                transcendentals=0,
-            ),
-        )(z, z, v, v, member_f, member_f, length_v)
+        tn = int(os.environ.get("IMPOP_TPU_TRI_TILE", 0)) or \
+            next((t for t in (128, 256) if n % t == 0), tile_n)
+        assert n % tn == 0
+        t_blocks = n // tn
+        pairs = [(i, j) for i in range(t_blocks)
+                 for j in range(i, t_blocks)]
+        it_arr = jnp.asarray([i for i, _ in pairs], jnp.int32)
+        jt_arr = jnp.asarray([j for _, j in pairs], jnp.int32)
+        out_shape = [
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, n), jnp.int8),
+        ]
+        cost = pl.CostEstimate(
+            flops=4 * len(pairs) * tn * tn * s,
+            bytes_accessed=2 * n * s + 5 * n * n,
+            transcendentals=0,
+        )
+        if n <= 512:
+            # resident variant: z crosses HBM once, tile pairs statically
+            # unrolled (see _make_kernel_tri_resident).  The site chunk is
+            # as large as the VMEM budget allows — at the bench shape
+            # [512, 8192] the whole operand fits and the grid is ONE step.
+            ts_budget = int(os.environ.get("IMPOP_TPU_TRI_TS", 0)) or \
+                (6 * 1024 * 1024) // (2 * n)
+            ts = s
+            while ts > tile_s and ts > ts_budget:
+                ts //= 2
+            while s % ts != 0:
+                ts //= 2
+            ts = max(ts, 128)
+            sim_u, pres_u = pl.pallas_call(
+                _make_kernel_tri_resident(pairs, tn),
+                grid=(s // ts,),
+                in_specs=[
+                    pl.BlockSpec((n, ts), lambda k: (0, k),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, n), lambda k: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1), lambda k: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((n, n), lambda k: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n, n), lambda k: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((len(pairs), tn, tn), jnp.float32),
+                    pltpu.VMEM((len(pairs), tn, tn), jnp.float32),
+                ],
+                cost_estimate=cost,
+            )(z, member_f, length_v)
+        else:
+            # streaming fallback for pair-space shapes past the VMEM
+            # budget: operand row-blocks re-fetched per tile pair
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(len(pairs), s // tile_s),
+                in_specs=[
+                    pl.BlockSpec((tn, tile_s),
+                                 lambda p, k, it, jt: (it[p], k),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tn, tile_s),
+                                 lambda p, k, it, jt: (jt[p], k),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tn), lambda p, k, it, jt: (0, it[p]),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tn), lambda p, k, it, jt: (0, jt[p]),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1), lambda p, k, it, jt: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((tn, tn),
+                                 lambda p, k, it, jt: (it[p], jt[p]),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tn, tn),
+                                 lambda p, k, it, jt: (it[p], jt[p]),
+                                 memory_space=pltpu.VMEM),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((tn, tn), jnp.float32),
+                    pltpu.VMEM((tn, tn), jnp.float32),
+                ],
+            )
+            sim_u, pres_u = pl.pallas_call(
+                _kernel_tri,
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                cost_estimate=cost,
+            )(it_arr, jt_arr, z, z, member_f, member_f, length_v)
+        # mirror the strict-lower half from the computed upper blocks;
+        # unwritten lower blocks of sim_u/pres_u are never selected (for
+        # any cell with col < row the transposed read lands in a written
+        # i <= j block: floor is monotone, so col < row ⇒ bc <= br)
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        upper = col >= row
+        sim = jnp.where(upper, sim_u, sim_u.T)
+        pres = jnp.where(upper, pres_u, pres_u.T)
         return sim, pres.astype(bool)
 
     w = site_weights.astype(jnp.float32).reshape(1, s)

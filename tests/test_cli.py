@@ -273,10 +273,10 @@ def test_cli_ehh_matches_reference_loops(tmp_path, rng):
 
 
 def test_cli_scan_native_batch_matches_per_window(tmp_path, rng, monkeypatch):
-    """The C++ padded-batch fast path (extract_batch_padded) must produce a
-    byte-identical scan table to the per-window extraction path, including
-    overlapping windows (which fall back to the general batch path inside
-    the native layer) and panel masks/weights."""
+    """The C++ wire-pack fast path (extract_batch_open + ix_batch_pack_all)
+    must produce a byte-identical scan table to the per-window extraction
+    path, including overlapping windows (which fall back to the general
+    batch path inside the native layer) and panel masks/weights."""
     from impop_tpu.extract import NativeExtractor
     from impop_tpu.extract.simulate import simulate
 
@@ -297,7 +297,7 @@ def test_cli_scan_native_batch_matches_per_window(tmp_path, rng, monkeypatch):
     out_fast = tmp_path / "fast.tsv"
     main(["scan", *args, "-o", str(out_fast)])
     out_slow = tmp_path / "slow.tsv"
-    monkeypatch.delattr(NativeExtractor, "extract_batch_padded")
+    monkeypatch.delattr(NativeExtractor, "extract_batch_open")
     main(["scan", *args, "-o", str(out_slow)])
     assert out_fast.read_text() == out_slow.read_text()
     assert len(out_fast.read_text().splitlines()) == 5
@@ -336,19 +336,51 @@ def test_cli_hfst_pair_shard_matches_replicated(tmp_path, rng):
                                    rtol=2e-4, atol=2e-7)
 
 
-def test_cli_scan_rejects_multiallelic_codes(tmp_path, rng):
-    """The fused scan is biallelic; the 2-bit H2D pack must reject allele
-    codes > 1 loudly instead of silently corrupting them."""
+def test_cli_scan_splits_multiallelic_codes(tmp_path, rng):
+    """--geno-dir tiles with allele codes > 1 auto-split into per-alt
+    indicator columns (the native extractor's per-(pos, ref, alt)
+    convention — cli.split_multiallelic) instead of aborting: pica2's
+    estimator is alphabet-agnostic (reference pica2.py:60-169), so the
+    scan must accept such tiles; π and S must match the oracle computed
+    on the split-column identity semantics."""
+    import oracle
+
+    from impop_tpu.cli import split_multiallelic
+
     genodir = tmp_path / "genodir"
     genodir.mkdir()
-    geno = np.zeros((4, 8), np.int8)
-    geno[0, 0] = 2  # multi-allelic code
-    names = np.asarray([f"h{i}#1#c{i}" for i in range(4)])
-    np.savez(genodir / "chr1:0-1000.npz", geno=geno, names=names)
+    n, s = 8, 10
+    geno = rng.integers(0, 2, size=(n, s)).astype(np.int8)
+    geno[:, 3] = [0, 1, 2, 2, 1, 0, -1, 1]  # triallelic + a missing call
+    geno[:, 7] = [2, 2, 0, 0, 0, 0, 0, 0]   # alt-2-only column
+    names = [f"h{i}#1#c{i}" for i in range(n)]
+    np.savez(genodir / "chr1:0-1000.npz", geno=geno,
+             names=np.asarray(names))
     (tmp_path / "w.bed").write_text("chr1\t0\t1000\n")
-    with pytest.raises(SystemExit, match="biallelic"):
-        main(["scan", "-b", str(tmp_path / "w.bed"), "-P", "",
-              "--geno-dir", str(genodir), "-o", str(tmp_path / "o.tsv")])
+    out = tmp_path / "o.tsv"
+    main(["scan", "-b", str(tmp_path / "w.bed"), "-P", "",
+          "--geno-dir", str(genodir), "-o", str(out)])
+    row = out.read_text().splitlines()[1].split("\t")
+
+    g2, _ = split_multiallelic(geno, None)
+    assert g2.shape[1] > s and int(g2.max()) == 1
+    # expected S: polymorphic split columns
+    valid = g2 >= 0
+    big = np.where(valid, g2, 127).min(axis=0)
+    small = np.where(valid, g2, -1).max(axis=0)
+    s_expect = int((valid.any(axis=0) & (small > big)).sum())
+    assert int(row[3]) == s_expect
+    # expected π: oracle pica2 on the split-column identity matrix
+    length = 1000.0
+    sims = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            both = valid[i] & valid[j]
+            if both.any():
+                d = int((g2[i, both] != g2[j, both]).sum())
+                sims[(names[i], names[j])] = 1.0 - d / length
+    pi_expect, _ = oracle.pica2_pi(sims, names, 0.999)
+    assert row[4] == f"{pi_expect / length:.8f}"
 
 
 def test_cli_hfst_pair_shard_auto_falls_back_below_threshold(tmp_path, rng,
