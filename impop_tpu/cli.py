@@ -1112,39 +1112,21 @@ def pack_scan_batch(geno: np.ndarray, member: np.ndarray, smask: np.ndarray,
 import functools as _functools
 
 
-@_functools.lru_cache(maxsize=32)
-def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
-               threshold: float, use_weights: bool, want_afs: bool,
-               afs_bins: int, afs_folded: bool, pairs_disjoint: bool,
-               devs: tuple):
-    """Compiled fused scan step for one (shape, config) signature.
-
-    Returns a jitted fn mapping the fused uint8 batch buffer [w, K] to the
-    packed f32 result rows [w, R] (see cmd_scan for the row layout).  On
-    multiple local devices the window axis is shard_mapped over a `data`
-    mesh axis.
-    """
+def _wire_unpacker(cap_n: int, cap_s: int, p_count: int, use_weights: bool):
+    """Device-side decoder of the fused wire buffer (_scan_buf_layout):
+    one traced fn flat[K] -> (geno, member, smask, panels, length, wts),
+    shared by the fused scan step and the exact-FSTG recompute step."""
     import jax
     import jax.numpy as jnp
 
-    from impop_tpu.stats.allele import (identity_from_alleles, panel_afs,
-                                        segregating_sites)
-    from impop_tpu.stats.panelstats import fused_panel_stats
-    from impop_tpu.stats.tajima import tajimas_d
-
     lay = _scan_buf_layout(cap_n, cap_s, p_count, use_weights)
-    pair_a = jnp.asarray([a for a, _ in pair_key] or [0], jnp.int32)
-    pair_b = jnp.asarray([b for _, b in pair_key] or [0], jnp.int32)
-    with_pairs = bool(pair_key)
-    t = jnp.float32(threshold)
     bitsh = jnp.arange(8, dtype=jnp.uint8)
 
     def unpack_bits(seg, n):
         b = (seg[:, None] >> bitsh[None, :]) & jnp.uint8(1)
         return b.reshape(-1)[:n].astype(bool)
 
-    def one_window(flat):
-        # fused unpack of the wire format (one elementwise prologue)
+    def unpack(flat):
         gp = flat[lay["g"]:lay["m"]].reshape(cap_n, cap_s // 4)
         shifts = jnp.asarray([0, 2, 4, 6], jnp.uint8)
         codes = (gp[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
@@ -1165,6 +1147,94 @@ def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
             wts = jax.lax.bitcast_convert_type(bits, jnp.float32)
         else:
             wts = None
+        return g, m, smask, panels1, length, wts
+
+    return unpack
+
+
+def _shard_windows(fn, devs):
+    """shard_map a vmapped per-window fn over the local `data` mesh axis."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from impop_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=len(devs), devices=list(devs))
+    return shard_map(fn, mesh=mesh, in_specs=(P("data"),),
+                     out_specs=P("data"))
+
+
+@_functools.lru_cache(maxsize=32)
+def _scan_step_fstg_exact(cap_n: int, cap_s: int, p_count: int,
+                          pair_key: tuple, threshold: float,
+                          use_weights: bool, devs: tuple):
+    """Exact grouped-Hudson recompute for seed-risk windows.
+
+    Same wire prologue as _scan_step, then the exact first-found-pair
+    representative semantics (stats/fst.hudson_fst_grouped_pairs ==
+    reference hud.py:88-98, 235-263) instead of the fused
+    seed-representative rows.  Returns [w, Q] FSTG.  Compiled lazily —
+    only scans that actually hit a partial-coverage window (flagged by
+    PanelStats.seed_risk) ever build it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.allele import identity_from_alleles
+    from impop_tpu.stats.fst import hudson_fst_grouped_pairs
+
+    unpack = _wire_unpacker(cap_n, cap_s, p_count, use_weights)
+    pair_a = jnp.asarray([a for a, _ in pair_key], jnp.int32)
+    pair_b = jnp.asarray([b for _, b in pair_key], jnp.int32)
+    t = jnp.float32(threshold)
+
+    def one_window(flat):
+        g, m, smask, panels1, length, wts = unpack(flat)
+        sim, present = identity_from_alleles(g, m, smask, length,
+                                             site_weights=wts)
+        ma = panels1[pair_a] & m[None, :]
+        mb = panels1[pair_b] & m[None, :]
+        ov = ma & mb
+        ma = ma & ~ov
+        mb = mb & ~ov
+        return hudson_fst_grouped_pairs(
+            sim, present, ma, mb, t).fst.astype(jnp.float32)
+
+    fn = jax.vmap(one_window)
+    if len(devs) > 1:
+        fn = _shard_windows(fn, devs)
+    return jax.jit(fn)
+
+
+@_functools.lru_cache(maxsize=32)
+def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
+               threshold: float, use_weights: bool, want_afs: bool,
+               afs_bins: int, afs_folded: bool, pairs_disjoint: bool,
+               devs: tuple):
+    """Compiled fused scan step for one (shape, config) signature.
+
+    Returns a jitted fn mapping the fused uint8 batch buffer [w, K] to the
+    packed f32 result rows [w, R] (see cmd_scan for the row layout).  On
+    multiple local devices the window axis is shard_mapped over a `data`
+    mesh axis.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.allele import (identity_from_alleles, panel_afs,
+                                        segregating_sites)
+    from impop_tpu.stats.panelstats import fused_panel_stats
+    from impop_tpu.stats.tajima import tajimas_d
+
+    pair_a = jnp.asarray([a for a, _ in pair_key] or [0], jnp.int32)
+    pair_b = jnp.asarray([b for _, b in pair_key] or [0], jnp.int32)
+    with_pairs = bool(pair_key)
+    t = jnp.float32(threshold)
+    unpack = _wire_unpacker(cap_n, cap_s, p_count, use_weights)
+
+    def one_window(flat):
+        # fused unpack of the wire format (one elementwise prologue)
+        g, m, smask, panels1, length, wts = unpack(flat)
 
         sim, present = identity_from_alleles(g, m, smask, length,
                                              site_weights=wts)
@@ -1189,25 +1259,21 @@ def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
                else jnp.zeros((p_count, 1), jnp.int32))
         # ONE packed f32 row per window: through the remote-TPU tunnel each
         # fetched array is its own device-to-host round trip (~100 ms).
-        # All packed values are exact in f32 (counts < 2^24).
+        # All packed values are exact in f32 (counts < 2^24).  seed_risk
+        # flags windows whose FSTG needs the exact first-found-pair
+        # recompute (partial coverage — stats/panelstats.PanelStats).
         return jnp.concatenate([
             pi_panel, d, fst.astype(jnp.float32),
             fstg.astype(jnp.float32), f3,
             s_count.reshape(1).astype(jnp.float32),
             n_all.reshape(1).astype(jnp.float32),
+            res.seed_risk.reshape(1).astype(jnp.float32),
             afs.reshape(-1).astype(jnp.float32),
         ])
 
     fn = jax.vmap(one_window)
     if len(devs) > 1:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from impop_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(data=len(devs), devices=list(devs))
-        fn = shard_map(fn, mesh=mesh, in_specs=(P("data"),),
-                       out_specs=P("data"))
+        fn = _shard_windows(fn, devs)
     return jax.jit(fn)
 
 
@@ -1336,7 +1402,8 @@ def cmd_scan(args) -> int:
     _o_f3 = _o_fstg + q_eff
     _o_s = _o_f3 + q_eff
     _o_n = _o_s + 1
-    _o_afs = _o_n + 1
+    _o_risk = _o_n + 1
+    _o_afs = _o_risk + 1
 
     # shard the window batch over every LOCAL device; a single chip
     # degenerates to plain placement.  Multi-device uses shard_map (not
@@ -1709,21 +1776,48 @@ def cmd_scan(args) -> int:
         # program signature carry the jit compile and are timed under the
         # 'compile' stage (bench.py subtracts that stage for steady-state).
         drain_group = max(1, int(getattr(args, "drain_group", 4) or 4))
-        group: List[tuple] = []   # [(out_dev, kept)]
-        pending_out = None        # (cout_dev, [kept...], [w...])
+        group: List[tuple] = []   # [(out_dev, kept, dev_args, caps)]
+        pending_out = None        # (cout_dev, [(kept, dev_args, caps)...], [w...])
 
-        def _drain_group(cout_dev, kept_lists, sizes):
+        def _exact_fstg(packed_b, kept_b, dev_args_b, caps_b):
+            """Presence-triggered exact FSTG: windows flagged seed_risk by
+            the fused step (partial coverage breaking the seed-
+            representative premise) re-run through the exact first-found-
+            pair program and have their FSTG columns replaced.  Never
+            fires on coverage-overlapping windows, so the common path
+            pays only the one packed flag column."""
+            if not with_pairs:
+                return packed_b
+            risk = packed_b[:len(kept_b), _o_risk] > 0
+            if not risk.any():
+                return packed_b
+            sig = ("fstg_exact", caps_b, dev_args_b[0].shape[0])
+            fresh = sig not in _COMPILED_SIGS
+            _COMPILED_SIGS.add(sig)
+            step = _scan_step_fstg_exact(
+                caps_b[0], caps_b[1], p_count, tuple(pair_list),
+                float(args.threshold), use_weights, devs_key)
+            with timers.stage("compile" if fresh else "device"):
+                exact = np.asarray(step(*dev_args_b))
+            packed_b = packed_b.copy()
+            rows = np.nonzero(risk)[0]
+            packed_b[rows, _o_fstg:_o_f3] = exact[rows]
+            return packed_b
+
+        def _drain_group(cout_dev, metas, sizes):
             with timers.stage("fetch"):
                 # the device-to-host fetch IS the barrier: through the
                 # remote-TPU tunnel block_until_ready can return before
                 # execution finishes (CLAUDE.md), which would silently
                 # move execute time out of the timed stages
                 packed_all = np.asarray(cout_dev)
-            with timers.stage("emit"):
-                off = 0
-                for kept_b, w_b in zip(kept_lists, sizes):
-                    emit_rows(packed_all[off:off + w_b], kept_b)
-                    off += w_b
+            off = 0
+            for (kept_b, dev_args_b, caps_b), w_b in zip(metas, sizes):
+                packed_b = _exact_fstg(packed_all[off:off + w_b], kept_b,
+                                       dev_args_b, caps_b)
+                with timers.stage("emit"):
+                    emit_rows(packed_b, kept_b)
+                off += w_b
 
         def _flush_group():
             nonlocal pending_out, group
@@ -1736,11 +1830,11 @@ def cmd_scan(args) -> int:
                 fresh = sig not in _COMPILED_SIGS
                 _COMPILED_SIGS.add(sig)
                 with timers.stage("compile" if fresh else "device"):
-                    cout = _concat_outputs(*[o for o, _ in group])
+                    cout = _concat_outputs(*[o for o, *_ in group])
             if pending_out is not None:
                 _drain_group(*pending_out)
-            pending_out = (cout, [k for _, k in group],
-                           [o.shape[0] for o, _ in group])
+            pending_out = (cout, [(k, d, c) for _, k, d, c in group],
+                           [o.shape[0] for o, *_ in group])
             group = []
 
         while inflight:
@@ -1758,7 +1852,7 @@ def cmd_scan(args) -> int:
                                 dev_args[0].shape[0])
             with timers.stage("compile" if fresh else "device"):
                 out_dev = step_for(disjoint, caps[0], caps[1])(*dev_args)
-            group.append((out_dev, kept))
+            group.append((out_dev, kept, dev_args, caps))
             if len(group) >= drain_group:
                 _flush_group()
         _flush_group()

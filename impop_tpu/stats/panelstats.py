@@ -73,6 +73,11 @@ class PanelStats(NamedTuple):
                                 # representatives; == hud.py -m grouped
                                 # whenever every group-seed pair has data —
                                 # see fused_panel_stats docstring)
+    seed_risk: jnp.ndarray      # bool scalar: some pair of group seeds
+                                # lacks data, so hudson_grouped MAY deviate
+                                # from hud.py's first-found-pair scan —
+                                # conservative (seed-union) flag; consumers
+                                # re-run the exact path when set (cli scan)
 
 
 def _use_pallas(n_cap: int) -> bool:
@@ -237,8 +242,27 @@ def fused_panel_stats(
     gpi_b = rowdot(yd_gb, wgb) * bessel_b
     gdxy = rowdot(yd_ga, wgb)
 
+    # Conservative seed-pair-coverage flag: hud.py's representative for a
+    # group pair is the FIRST present member pair (hud.py:88-98), whose
+    # first candidate is the seed pair; the fused reduction contributes 0
+    # where that seed pair lacks data.  Flag the window when ANY two group
+    # seeds (union over every grouping in the stack — a superset of the
+    # pairs actually consumed) have no data, so callers can re-run the
+    # exact first-found-pair path (stats/fst.hudson_fst_grouped_pairs).
+    # One [N, N] masked reduction; never fires on coverage-overlapping
+    # allele-derived windows.
+    if q_count > 0:
+        seeds_any = jnp.any(is_rep_all, axis=0)
+        seed_risk = jnp.any(
+            seeds_any[:, None] & seeds_any[None, :] & ~present
+            & ~jnp.eye(n_cap, dtype=bool)
+        )
+    else:
+        seed_risk = jnp.zeros((), bool)
+
     return PanelStats(
         pi, n, num_groups, pairs_used, pairs_total - pairs_used,
         _assemble(pi_a, pi_b, dxy),
         _assemble(gpi_a, gpi_b, gdxy),
+        seed_risk,
     )

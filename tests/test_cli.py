@@ -414,3 +414,50 @@ def test_cli_hfst_pair_shard_auto_falls_back_below_threshold(tmp_path, rng,
     # auto consulted the sharded runner (8 CPU devices) but fell back
     assert calls == {"force": False, "result": None}
     assert len((tmp_path / "o.tsv").read_text().splitlines()) == 2
+
+
+def test_cli_scan_exact_fstg_on_partial_coverage(tmp_path, rng):
+    """Windows whose extraction coverage erases a group-seed pair (disjoint
+    record spans) are flagged by the fused step and their FSTG re-computed
+    through the exact first-found-pair program (cli._exact_fstg); the
+    emitted value must match the oracle's hud.py -m grouped semantics
+    (VERDICT r3 weak #4)."""
+    import oracle
+
+    genodir = tmp_path / "genodir"
+    genodir.mkdir()
+    # h00 covers left half only, h02 right half only; h01/h03 cover all:
+    # the (seed, seed) cross pair (h00, h02) has no data, (h00, h03) does
+    geno = np.full((4, 8), -1, np.int8)
+    geno[0, :4] = [1, 0, 1, 0]
+    geno[1] = [1, 0, 1, 0, 0, 0, 0, 1]
+    geno[2, 4:] = [1, 1, 0, 0]
+    geno[3] = [0, 1, 1, 0, 1, 1, 0, 0]
+    names = [f"h{i:02d}#1#c{i}" for i in range(4)]
+    np.savez(genodir / "chr1:0-1000.npz", geno=geno,
+             names=np.asarray(names))
+    (tmp_path / "w.bed").write_text("chr1\t0\t1000\n")
+    (tmp_path / "A.txt").write_text("h00\nh01\n")
+    (tmp_path / "B.txt").write_text("h02\nh03\n")
+    out = tmp_path / "o.tsv"
+    main(["scan", "-b", str(tmp_path / "w.bed"), "-P", "",
+          "--geno-dir", str(genodir),
+          "--panel", str(tmp_path / "A.txt"),
+          "--panel", str(tmp_path / "B.txt"), "-o", str(out)])
+    header, row = [l.split("\t") for l in out.read_text().splitlines()]
+    fstg = float(row[header.index("FSTG_A_B")])
+
+    # oracle on the same identity semantics (length 1000, absent pairs
+    # excluded from the similarity dict)
+    length = 1000.0
+    sims = {}
+    for i in range(4):
+        for j in range(i + 1, 4):
+            both = (geno[i] >= 0) & (geno[j] >= 0)
+            if both.any():
+                d = int((geno[i, both] != geno[j, both]).sum())
+                sims[(names[i], names[j])] = 1.0 - d / length
+    want = oracle.hudson_fst_grouped(sims, names[:2], names[2:4], 0.999)
+    np.testing.assert_allclose(fstg, want["fst"], rtol=1e-6)
+    # and the deviation was real: the seed-representative value is not it
+    assert want["fst"] == 1.0

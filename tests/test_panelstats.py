@@ -173,3 +173,76 @@ def test_seed_pair_invariant_guard_warns_on_missing_data(monkeypatch):
     with pytest.warns(RuntimeWarning, match="group-seed pair"):
         fused_panel_stats(sim, present_bad, member, pmasks, pair_a, pair_b,
                           jnp.float32(0.999), pairs_disjoint=False)
+
+
+def test_seed_risk_flag_and_exact_path_on_partial_coverage(rng):
+    """Disjoint record coverage can erase the (seed_a, seed_b) pair while
+    another cross pair still has data — hud.py's first-found-pair scan
+    (hud.py:88-98) then uses the alternate pair, and the fused seed-
+    representative FSTG deviates (VERDICT r3 weak #4).  The fused pass
+    must raise `seed_risk` on such windows, and the exact path
+    (hudson_fst_grouped_pairs) must match the oracle; clean coverage must
+    NOT raise the flag."""
+    import oracle
+
+    from impop_tpu.stats.fst import hudson_fst_grouped_pairs
+
+    # rows: a0 covers left sites only, a1 all; b0 right only, b1 all
+    n = 16
+    names = [f"h{i}" for i in range(4)]
+    sim_np = np.zeros((n, n), np.float32)
+    pres_np = np.zeros((n, n), bool)
+
+    def setp(i, j, s):
+        sim_np[i, j] = sim_np[j, i] = s
+        pres_np[i, j] = pres_np[j, i] = True
+
+    for i in range(4):
+        sim_np[i, i] = 1.0
+        pres_np[i, i] = True
+    setp(0, 1, 0.9995)   # A group: seed 0 absorbs 1
+    setp(2, 3, 0.9995)   # B group: seed 2 absorbs 3
+    setp(0, 3, 0.9950)   # hud.py's representative for (gA, gB)
+    setp(1, 2, 0.9940)
+    setp(1, 3, 0.9930)
+    # (0, 2) — the seed pair — has NO data (disjoint coverage)
+
+    member = np.zeros(n, bool)
+    member[:4] = True
+    pmasks = np.zeros((2, n), bool)
+    pmasks[0, :2] = True
+    pmasks[1, 2:4] = True
+    pair_a = jnp.asarray([0], jnp.int32)
+    pair_b = jnp.asarray([1], jnp.int32)
+    t = jnp.float32(0.999)
+
+    res = fused_panel_stats(jnp.asarray(sim_np), jnp.asarray(pres_np),
+                            jnp.asarray(member), jnp.asarray(pmasks),
+                            pair_a, pair_b, t, pairs_disjoint=True)
+    assert bool(res.seed_risk), "partial coverage must raise seed_risk"
+
+    # the exact device path must equal the oracle's hud.py semantics
+    sims = {}
+    for i in range(4):
+        for j in range(i + 1, 4):
+            if pres_np[i, j]:
+                sims[(names[i], names[j])] = float(sim_np[i, j])
+    want = oracle.hudson_fst_grouped(sims, names[:2], names[2:4], 0.999)
+    got = hudson_fst_grouped_pairs(
+        jnp.asarray(sim_np), jnp.asarray(pres_np),
+        jnp.asarray(pmasks[:1] & member[None, :]),
+        jnp.asarray(pmasks[1:] & member[None, :]), t)
+    np.testing.assert_allclose(float(got.fst[0]), want["fst"], rtol=1e-6)
+    # and the fused seed-representative value indeed deviates here —
+    # the flag is what makes the scan swap it out
+    assert abs(float(res.hudson_grouped.fst[0]) - want["fst"]) > 1e-3
+
+    # clean full coverage: no flag
+    pres_ok = pres_np.copy()
+    pres_ok[0, 2] = pres_ok[2, 0] = True
+    sim_ok = sim_np.copy()
+    sim_ok[0, 2] = sim_ok[2, 0] = 0.9950
+    res_ok = fused_panel_stats(jnp.asarray(sim_ok), jnp.asarray(pres_ok),
+                               jnp.asarray(member), jnp.asarray(pmasks),
+                               pair_a, pair_b, t, pairs_disjoint=True)
+    assert not bool(res_ok.seed_risk)

@@ -134,7 +134,8 @@ def test_device_unpack_matches_host_decode():
     step = _scan_step(cap_n, cap_s, 1, (), 0.999, False, False, 512, True,
                       False, tuple(jax.local_devices()[:1]))
     out = np.asarray(step(flat))
-    # packed row layout: [pi(1), d(1), fst(1), fstg(1), f3(1), S, n, afs(1)]
+    # packed row layout:
+    # [pi(1), d(1), fst(1), fstg(1), f3(1), S, n, seed_risk, afs(1)]
     s_dev = out[:, 5]
     for wi in range(w):
         g = geno[wi][member[wi]][:, smask[wi]]
