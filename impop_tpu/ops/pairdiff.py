@@ -61,11 +61,16 @@ def _kernel(xi_ref, xj_ref, w_ref, mi_ref, mj_ref, len_ref,
     def dt(x):
         return x.astype(operand_dtype)
 
+    # HIGHEST: the weighted operands carry indel base lengths (values
+    # > 256 are not bf16-exact and the MXU's default f32 matmul is
+    # single-pass bf16); the 0/1 compared-count dot stays DEFAULT
     acc_diff[:] += (
         jax.lax.dot_general(dt(ai * w), dt(cj), (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         + jax.lax.dot_general(dt(ci * w), dt(aj), (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
     )
     acc_cmp[:] += jax.lax.dot_general(dt(vi), dt(vj), (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)

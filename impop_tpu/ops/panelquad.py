@@ -38,13 +38,21 @@ def _kernel(sim_ref, pres_ref, wd_ref, wp_ref, yd_ref, yp_ref):
     mask = (pres_ref[:].astype(jnp.float32) > 0) & (row_ids != col_ids)
     maskf = jnp.where(mask, 1.0, 0.0)               # [N, K]
     div = jnp.where(mask, 1.0 - sim_ref[:], 0.0)    # [N, K]
+    # HIGHEST precision: these operands carry real f32 values ((1-sim)
+    # ~1e-3, frequency weights); the MXU's default single-pass bf16 f32
+    # matmul rounded them to ~1e-3 RELATIVE error in pi/Fst (measured
+    # against a host f64 oracle on HPRC-shaped windows — r4 bisect log).
+    # The identity/grouping dots keep DEFAULT: their 0/1 operands are
+    # exact in bf16 by construction.
     yd_ref[:] = jax.lax.dot_general(
         wd_ref[:], div, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     yp_ref[:] = jax.lax.dot_general(
         wp_ref[:], maskf, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -106,9 +114,12 @@ def masked_pair_sums_xla(sim, present, wd, wp):
     maskf = mask.astype(jnp.float32)
 
     def mm(x, m):
+        # HIGHEST: value-carrying operands (see _kernel) — on TPU the
+        # default f32 matmul is single-pass bf16
         return jax.lax.dot_general(
             x, m, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     return mm(wd, div), mm(wp, maskf)

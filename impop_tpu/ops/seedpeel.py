@@ -123,7 +123,7 @@ def _kernel(sim_ref, pres_ref, simd_ref, presd_ref, mrow_ref, mcol_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def seed_peel_pallas(sim, present, member, pmasks, threshold, block=128):
+def seed_peel_pallas(sim, present, member, pmasks, threshold, block=256):
     """Greedy seed flags for P panels of one window.
 
     Args:
@@ -132,14 +132,20 @@ def seed_peel_pallas(sim, present, member, pmasks, threshold, block=128):
       member:  [N] bool
       pmasks:  [P, N] bool panel masks
       threshold: scalar f32 (strict > link rule)
-      block: chunk width (N must be a multiple; must stay lane-aligned —
-             128 — for the dynamic VMEM scratch stores Mosaic accepts)
+      block: chunk width (N must be a multiple of it and it of 128 —
+             Mosaic needs lane-aligned dynamic VMEM scratch stores;
+             256 measured ~5 us/window faster than 128 at [512] x 15
+             masks on v5e: half the sequential chunk round-trips.  An
+             in-kernel fused gid output was tried and REVERTED: the
+             per-panel [N, K] masked-min unroll cost ~7 us/window, more
+             than the external elink+einsum argmin it replaced — r4
+             A/B log, tools/bench_panelstep.py)
     Returns:
       seed [P, N] bool — True where the row is its panel-group's seed.
     """
     n_cap = member.shape[0]
     p_count = pmasks.shape[0]
-    assert n_cap % block == 0
+    assert n_cap % block == 0 and block % 128 == 0
     grid = (n_cap // block,)
 
     member_f = member.astype(jnp.float32)[None, :]         # [1, N]

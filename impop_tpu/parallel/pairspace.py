@@ -88,14 +88,18 @@ def pair_sharded_direct_stats(mesh, axis: str = "data"):
         a_cols = masks_a.astype(jnp.float32)
         b_cols = masks_b.astype(jnp.float32)
 
-        def mm(w, m):
+        def mm(w, m, hi=False):
+            # hi: div carries per-site f32 values — the TPU default
+            # matmul is single-pass bf16 (r4 bisect: ~1e-3 rel error);
+            # the 0/1 count mms stay DEFAULT (exact)
             return jax.lax.dot_general(
                 w, m, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST if hi else None),
             )
 
-        yd_a, yp_a = mm(a_rows, div), mm(a_rows, okf)   # [Q, N]
-        yd_b, yp_b = mm(b_rows, div), mm(b_rows, okf)
+        yd_a, yp_a = mm(a_rows, div, hi=True), mm(a_rows, okf)   # [Q, N]
+        yd_b, yp_b = mm(b_rows, div, hi=True), mm(b_rows, okf)
 
         def rowdot(x, m):
             return jnp.sum(x * m, axis=1)

@@ -75,13 +75,19 @@ def pairwise_diff_biallelic(
     x = jnp.where(valid, geno, 0).astype(jnp.float32)
     xc = v - x  # complement within valid sites
     xw, xcw = x, xc
+    prec = None
     if site_weights is not None:
         w = site_weights.astype(jnp.float32)[None, :]
         xw = x * w
         xcw = xc * w
+        # weighted operands carry indel base lengths (values > 256 are
+        # not bf16-exact); the unit-weight 0/1 operands stay DEFAULT
+        prec = jax.lax.Precision.HIGHEST
     diff = (
-        jnp.dot(xw, xc.T, preferred_element_type=jnp.float32)
-        + jnp.dot(xcw, x.T, preferred_element_type=jnp.float32)
+        jnp.dot(xw, xc.T, preferred_element_type=jnp.float32,
+                precision=prec)
+        + jnp.dot(xcw, x.T, preferred_element_type=jnp.float32,
+                  precision=prec)
     )
     compared = jnp.dot(v, v.T, preferred_element_type=jnp.float32)
     return diff, compared
@@ -107,15 +113,19 @@ def pairwise_diff(
     compared = jnp.dot(v, v.T, preferred_element_type=jnp.float32)
     w = (site_weights.astype(jnp.float32)[None, :]
          if site_weights is not None else None)
+    # weighted operands need HIGHEST (indel lengths are not bf16-exact)
+    prec = None if w is None else jax.lax.Precision.HIGHEST
     vw = v if w is None else v * w
     compared_w = (compared if w is None
-                  else jnp.dot(vw, v.T, preferred_element_type=jnp.float32))
+                  else jnp.dot(vw, v.T, preferred_element_type=jnp.float32,
+                               precision=prec))
     match = jnp.zeros_like(compared)
     for a in range(num_alleles):
         xa = (jnp.where(valid, geno, -1) == a).astype(jnp.float32)
         xaw = xa if w is None else xa * w
         match = match + jnp.dot(xaw, xa.T,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
     return compared_w - match, compared
 
 
@@ -155,7 +165,11 @@ def identity_from_alleles(
     # materialises three [N, S] f32 operands in HBM before its matmuls,
     # which dominates once S reaches the thousands (the site-streaming
     # regime that removes the reference's 10 kb window cap).  Short
-    # windows keep the XLA path (operands are tiny and fuse well).
+    # windows keep the XLA path: lowering this gate to the scan's S=128
+    # caps was A/B'd on v5e and LOST (9.3 -> 13.6 us/window at
+    # [512, 128] x 320 — the resident kernel's per-window VMEM setup and
+    # tile-pair unroll are fixed costs that only pay off at large S;
+    # tools/bench_panelstep.py round-4 log).
     if (
         num_alleles == 2
         and s_cap >= 2048
@@ -171,6 +185,32 @@ def identity_from_alleles(
             geno, member, site_mask, length, tile_n=tile_n, tile_s=tile_s,
             site_weights=site_weights,
         )
+    if (num_alleles == 2 and site_weights is None
+            and jax.default_backend() not in ("cpu",)):
+        # short-window TPU path: the z-Gram bf16 formulation (z = +1 alt /
+        # -1 ref / 0 invalid, v = |z|; diff = (v·vᵀ − z·zᵀ)/2) — EXACT
+        # (±1/0 exact in bf16, integer counts < 2²⁴ in f32 accumulation)
+        # and two bf16 Grams instead of pairwise_diff's three f32 ones:
+        # measured 10.2 → 8.8 us/window at the scan's [512, 128] x 320
+        # shape (tools/bench_panelstep.py r4 log).  CPU keeps the f32
+        # path (no fast bf16 dots there; tests compare the two).
+        g2 = jnp.where(site_mask[None, :] & member[:, None], geno,
+                       jnp.int8(-1))
+        v = (g2 >= 0).astype(jnp.bfloat16)
+        a = jnp.maximum(g2, 0).astype(jnp.bfloat16)
+        z = a + a - v
+        dims = (((1,), (1,)), ((), ()))
+        zz = jax.lax.dot_general(z, z, dims,
+                                 preferred_element_type=jnp.float32)
+        vv = jax.lax.dot_general(v, v, dims,
+                                 preferred_element_type=jnp.float32)
+        diff = (vv - zz) * 0.5
+        present = (vv > 0) & member[:, None] & member[None, :]
+        sim = jnp.where(present, 1.0 - diff / jnp.maximum(length, 1.0),
+                        0.0)
+        eye = jnp.eye(member.shape[0], dtype=bool)
+        diag = eye & member[:, None]
+        return jnp.where(diag, 1.0, sim), present | diag
     diff, compared = pairwise_diff(geno, member, site_mask, num_alleles,
                                    site_weights)
     present = (compared > 0) & member[:, None] & member[None, :]

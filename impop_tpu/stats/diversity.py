@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["DiversityResult", "direct_diversity"]
@@ -44,15 +45,24 @@ def direct_diversity(
     div = jnp.where(pair_present, 1.0 - sim, 0.0)
     presf = pair_present.astype(jnp.float32)
 
+    # HIGHEST precision throughout: div carries real f32 values
+    # ((1-sim) ~1e-3) and the intermediate count/sum vectors exceed bf16's
+    # 8-bit mantissa — the TPU default single-pass bf16 f32 matmul
+    # measured ~1e-3 relative error in pi/Fst (r4 bisect vs host f64)
+    hi = jax.lax.Precision.HIGHEST
     if mask_b is None:
-        total = jnp.dot(a, jnp.dot(div, a, preferred_element_type=jnp.float32)) * 0.5
-        count = jnp.dot(a, jnp.dot(presf, a, preferred_element_type=jnp.float32)) * 0.5
+        total = jnp.dot(a, jnp.dot(div, a, preferred_element_type=jnp.float32,
+                                   precision=hi), precision=hi) * 0.5
+        count = jnp.dot(a, jnp.dot(presf, a, preferred_element_type=jnp.float32,
+                                   precision=hi), precision=hi) * 0.5
         n_a = jnp.sum(a)
         all_pairs = n_a * (n_a - 1.0) * 0.5
     else:
         b = mask_b.astype(jnp.float32)
-        total = jnp.dot(a, jnp.dot(div, b, preferred_element_type=jnp.float32))
-        count = jnp.dot(a, jnp.dot(presf, b, preferred_element_type=jnp.float32))
+        total = jnp.dot(a, jnp.dot(div, b, preferred_element_type=jnp.float32,
+                                   precision=hi), precision=hi)
+        count = jnp.dot(a, jnp.dot(presf, b, preferred_element_type=jnp.float32,
+                                   precision=hi), precision=hi)
         all_pairs = jnp.sum(a) * jnp.sum(b)
 
     count_i = jnp.round(count).astype(jnp.int32)

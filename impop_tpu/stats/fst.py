@@ -92,9 +92,12 @@ def hudson_fst_direct_pairs(sim, present, masks_a, masks_b) -> FstResult:
     b = masks_b.astype(jnp.float32)
 
     def mm(x, m):
+        # HIGHEST: div carries (1-sim) values — the TPU default matmul
+        # is single-pass bf16 (r4 bisect: ~1e-3 relative error)
         return jax.lax.dot_general(
             x, m, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     yd_a, yp_a = mm(a, div), mm(a, presf)

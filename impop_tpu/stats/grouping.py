@@ -85,7 +85,8 @@ def greedy_group(
         from impop_tpu.ops.seedpeel import seed_peel_pallas
 
         seed = seed_peel_pallas(
-            sim, present, member, member[None, :], threshold
+            sim, present, member, member[None, :], threshold,
+            block=256 if n_cap % 256 == 0 else 128,
         )[0]
         cand = elink & seed[:, None]
         min_seed = jnp.min(
@@ -170,13 +171,14 @@ def greedy_group_panels(
     # On TPU the whole recurrence runs as ONE fused Pallas program
     # (ops/seedpeel.py): the XLA chunked loop below compiles to ~180 small
     # kernels per 320-window batch whose dispatch overhead dominates
-    # (12.8 ms vs 2.3 ms fused on v5e).
-    # (gated on 128-row multiples: Mosaic requires lane-aligned dynamic
-    # stores into the VMEM seed scratch, so the chunk width is fixed at 128)
+    # (12.8 ms vs 2.3 ms fused on v5e).  Block sizes must be 128-multiples
+    # (lane-aligned dynamic VMEM scratch stores); 256 halves the
+    # sequential chunk round-trips (~5 us/window on the r4 profile).
     if jax.default_backend() not in ("cpu",) and n_cap % 128 == 0:
         from impop_tpu.ops.seedpeel import seed_peel_pallas
 
-        seed = seed_peel_pallas(sim, present, member, pmasks, threshold)
+        seed = seed_peel_pallas(sim, present, member, pmasks, threshold,
+                                block=256 if n_cap % 256 == 0 else 128)
         # bf16 elink is exact here (0/1 entries, power-of-two weights,
         # f32 accumulation) and halves the argmin einsum's [N, N] traffic;
         # the CPU backend lacks bf16 dots, so the fallback keeps f32

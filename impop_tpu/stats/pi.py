@@ -62,7 +62,11 @@ def pi_grouped(sim, present, member, threshold) -> PiResult:
     pair_mask = present & offdiag
     contrib = jnp.where(pair_mask, 1.0 - sim, 0.0)
     # Σ_{a≠b} (1-s) w_a w_b  ==  Σ_{a<b} 2 (1-s) w_a w_b   (symmetry)
-    quad = jnp.dot(w, jnp.dot(contrib, w, preferred_element_type=jnp.float32))
+    # HIGHEST: contrib carries (1-sim) values; TPU default matmul is
+    # single-pass bf16 (r4 bisect: ~1e-3 relative pi error)
+    quad = jnp.dot(w, jnp.dot(contrib, w, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST),
+                   precision=jax.lax.Precision.HIGHEST)
 
     num_groups = jnp.sum(is_rep.astype(jnp.int32))
     rep_pair = is_rep[:, None] & is_rep[None, :] & offdiag
@@ -102,6 +106,7 @@ def pi_grouped_panels(sim, present, member, pmasks, threshold) -> PiResult:
     y = jax.lax.dot_general(
         w, contrib, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # value-carrying operands
     )                                                                   # [P,N]
     quad = jnp.sum(y * w, axis=1)                                       # [P]
 

@@ -81,13 +81,16 @@ def test_seed_peel_pallas_matches_greedy_group(rng):
     member = rng.random(n) < 0.9
     pmasks = rng.random((p, n)) < 0.7
 
-    with pltpu.force_tpu_interpret_mode():
-        seed = np.asarray(seed_peel_pallas(
-            jnp.asarray(sim), jnp.asarray(present), jnp.asarray(member),
-            jnp.asarray(pmasks), 0.995, block=128))
-    for pi in range(p):
-        gid = np.asarray(greedy_group(
-            jnp.asarray(sim), jnp.asarray(present),
-            jnp.asarray(member & pmasks[pi]), 0.995))
-        expect = (gid == np.arange(n)) & member & pmasks[pi]
-        np.testing.assert_array_equal(seed[pi], expect)
+    # block=256 is the TPU default (half the sequential chunk rounds);
+    # pin block-size invariance by checking both widths
+    for blk in (128, 256):
+        with pltpu.force_tpu_interpret_mode():
+            seed = np.asarray(seed_peel_pallas(
+                jnp.asarray(sim), jnp.asarray(present), jnp.asarray(member),
+                jnp.asarray(pmasks), 0.995, block=blk))
+        for pi in range(p):
+            gid = np.asarray(greedy_group(
+                jnp.asarray(sim), jnp.asarray(present),
+                jnp.asarray(member & pmasks[pi]), 0.995))
+            expect = (gid == np.arange(n)) & member & pmasks[pi]
+            np.testing.assert_array_equal(seed[pi], expect)
