@@ -231,6 +231,11 @@ def segregating_sites(
     site segregates iff max valid allele != min valid allele.
     """
     valid = _site_valid(geno, member, site_mask)
+    # int32 widening looks wasteful (16 MB temps at [512, 8192]) but an
+    # int8-sentinel variant was A/B'd on v5e and REVERTED: identical in
+    # isolation (~43 us/window either way) yet 12x slower when fused in
+    # the same program as the Pallas identity kernel (535 us — Mosaic/XLA
+    # layout interaction); r4 A/B log
     big = jnp.iinfo(jnp.int32).max
     g = geno.astype(jnp.int32)
     col_min = jnp.min(jnp.where(valid, g, big), axis=0)

@@ -52,6 +52,35 @@ def main() -> None:
           f"{len(wins)/dt:.1f} win/s ({len(wins)/dt/40:.2f} 200kb-units/s); "
           f"{n_sites} sites total")
 
+    # thread-scaling table: extract + wire-pack at IMPOP_EXTRACT_THREADS
+    # ∈ {1, 2, 4}, interleaved repetitions (this shared 2-core host has
+    # CPU-steal epochs — take the best of 3 per side, CLAUDE.md protocol)
+    from impop_tpu.cli import _scan_buf_layout
+
+    def one_pass(threads: int) -> float:
+        t0 = time.perf_counter()
+        for lo in range(0, len(wins), per_call):
+            chunk = wins[lo:lo + per_call]
+            nb = ex.extract_batch_open(sim.ref_name, chunk, threads=threads)
+            cap_n = max(n for n, _ in nb.dims)
+            cap_s = ((max(s for _, s in nb.dims) + 127) // 128) * 128
+            cap_n = ((cap_n + 127) // 128) * 128
+            lay = _scan_buf_layout(cap_n, cap_s, 5, False)
+            flat = np.zeros((len(chunk), lay["total"]), np.uint8)
+            nb.pack_into(flat, list(range(len(chunk))), cap_n, cap_s,
+                         lay["m"], lay["sm"], -1, threads)
+            nb.close()
+        return len(wins) / (time.perf_counter() - t0)
+
+    print("\nextract+wire-pack thread scaling (win/s, best of 3):")
+    rates = {t: [] for t in (1, 2, 4)}
+    for _rep in range(3):
+        for t in (1, 2, 4):
+            rates[t].append(one_pass(t))
+    for t in (1, 2, 4):
+        print(f"  threads={t}: {max(rates[t]):8.1f} win/s "
+              f"(runs: {', '.join(f'{r:.0f}' for r in rates[t])})")
+
 
 if __name__ == "__main__":
     main()
