@@ -88,8 +88,7 @@ def device_pipeline():
     import jax
     import jax.numpy as jnp
 
-    from impop_tpu.stats.allele import identity_from_alleles, segregating_sites
-    from impop_tpu.stats.panelstats import fused_panel_stats
+    from impop_tpu.stats.panelstats import fused_window_stats
     from impop_tpu.stats.tajima import tajimas_d
 
     pair_a = jnp.asarray(
@@ -101,21 +100,18 @@ def device_pipeline():
     t = jnp.float32(THRESHOLD)
 
     def one_window(g, m, smask, panels1, length):
-        sim, present = identity_from_alleles(g, m, smask, length)
-        s_count = segregating_sites(g, m, smask)
-
-        # all 5 panel π + 10 pair-union π + 10 Hudson pairs through ONE
-        # grouping pass and ONE fused reduction kernel (the reference runs
-        # 35 impg+pica2/h-fst process pairs for the same work)
+        # identity + shared grouping + S as ONE Mosaic program on TPU
+        # (ops/idgroup.py), then all 5 panel π + 10 pair-union π + 10
+        # Hudson pairs through ONE fused reduction kernel (the reference
+        # runs 35 impg+pica2/h-fst process pairs for the same work)
         # bench panels are disjoint by construction (host-verified layout)
-        res = fused_panel_stats(sim, present, m, panels1, pair_a, pair_b, t,
-                                pairs_disjoint=True)
+        _sim, _present, s_countf, res = fused_window_stats(
+            g, m, smask, length, panels1, pair_a, pair_b, t,
+            pairs_disjoint=True)
         p_count = panels1.shape[0]
         pi_panel = res.pi[:p_count]
         pi_c = res.pi[p_count:]
-        d = tajimas_d(
-            res.n[:p_count], s_count.astype(jnp.float32), pi_panel / length
-        )
+        d = tajimas_d(res.n[:p_count], s_countf, pi_panel / length)
         hud = res.hudson.fst
         # grouped-method Hudson (hud.py -m grouped) for the same 10 pairs —
         # seed-representative weight rows inside the same fused reduction
@@ -124,7 +120,7 @@ def device_pipeline():
         f3 = jnp.where(
             pi_c != 0, (pi_c - pi_ab) / jnp.where(pi_c != 0, pi_c, 1.0), jnp.nan
         )
-        return pi_panel / length, d, hud, hudg, f3, s_count
+        return pi_panel / length, d, hud, hudg, f3, s_countf
 
     step = jax.jit(jax.vmap(one_window, in_axes=(0, 0, 0, 0, 0)))
     return step

@@ -1223,7 +1223,8 @@ def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
 
     from impop_tpu.stats.allele import (identity_from_alleles, panel_afs,
                                         segregating_sites)
-    from impop_tpu.stats.panelstats import fused_panel_stats
+    from impop_tpu.stats.panelstats import (fused_panel_stats,
+                                            fused_window_stats)
     from impop_tpu.stats.tajima import tajimas_d
 
     pair_a = jnp.asarray([a for a, _ in pair_key] or [0], jnp.int32)
@@ -1236,15 +1237,22 @@ def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
         # fused unpack of the wire format (one elementwise prologue)
         g, m, smask, panels1, length, wts = unpack(flat)
 
-        sim, present = identity_from_alleles(g, m, smask, length,
-                                             site_weights=wts)
-        s_count = segregating_sites(g, m, smask)
-        res = fused_panel_stats(sim, present, m, panels1, pair_a, pair_b, t,
-                                pairs_disjoint=pairs_disjoint)
+        if wts is None:
+            # unit weights: identity + grouping + S as ONE Mosaic program
+            # on TPU (ops/idgroup.py via fused_window_stats)
+            _sim, _present, s_countf, res = fused_window_stats(
+                g, m, smask, length, panels1, pair_a, pair_b, t,
+                pairs_disjoint=pairs_disjoint)
+        else:
+            sim, present = identity_from_alleles(g, m, smask, length,
+                                                 site_weights=wts)
+            s_countf = segregating_sites(g, m, smask).astype(jnp.float32)
+            res = fused_panel_stats(sim, present, m, panels1, pair_a,
+                                    pair_b, t,
+                                    pairs_disjoint=pairs_disjoint)
         pi_panel = res.pi[:p_count]
         pi_c = res.pi[p_count:]
-        d = tajimas_d(res.n[:p_count],
-                      s_count.astype(jnp.float32), pi_panel / length)
+        d = tajimas_d(res.n[:p_count], s_countf, pi_panel / length)
         fst = res.hudson.fst
         # grouped-method Hudson (hud.py -m grouped) comes out of the same
         # fused reduction via seed-representative weight rows
@@ -1265,7 +1273,7 @@ def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
         return jnp.concatenate([
             pi_panel, d, fst.astype(jnp.float32),
             fstg.astype(jnp.float32), f3,
-            s_count.reshape(1).astype(jnp.float32),
+            s_countf.reshape(1),
             n_all.reshape(1).astype(jnp.float32),
             res.seed_risk.reshape(1).astype(jnp.float32),
             afs.reshape(-1).astype(jnp.float32),

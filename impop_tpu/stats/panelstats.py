@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from impop_tpu.stats.fst import FstResult, _assemble
 from impop_tpu.stats.grouping import greedy_group_panels, group_sizes
 
-__all__ = ["PanelStats", "fused_panel_stats"]
+__all__ = ["PanelStats", "fused_panel_stats", "fused_window_stats",
+           "panel_mask_stack"]
 
 # Debug guard for the seed-representative grouped-Hudson invariant (set
 # IMPOP_TPU_DEBUG_INVARIANTS=1, or flip the module flag in tests): verifies
@@ -84,6 +85,27 @@ def _use_pallas(n_cap: int) -> bool:
     return jax.default_backend() not in ("cpu",) and n_cap % 128 == 0
 
 
+def panel_mask_stack(pmasks, member, pair_a, pair_b, pairs_disjoint):
+    """The mask stack one window's shared grouping pass runs over:
+    panels, pair unions and (when overlap stripping can change them) both
+    stripped Hudson sides.  Shared between fused_panel_stats and the
+    fully-fused kernel path (ops/idgroup.py) so both group the exact same
+    masks.  Returns (all_masks [R, N], mask_a [Q, N], mask_b [Q, N])."""
+    mask_a = pmasks[pair_a] & member[None, :]
+    mask_b = pmasks[pair_b] & member[None, :]
+    if not pairs_disjoint:
+        ov = mask_a & mask_b
+        mask_a = mask_a & ~ov
+        mask_b = mask_b & ~ov
+    unions = pmasks[pair_a] | pmasks[pair_b]
+    if pairs_disjoint:
+        all_masks = jnp.concatenate([pmasks, unions], axis=0)
+    else:
+        all_masks = jnp.concatenate([pmasks, unions, mask_a, mask_b],
+                                    axis=0)
+    return all_masks, mask_a, mask_b
+
+
 def fused_panel_stats(
     sim: jnp.ndarray,
     present: jnp.ndarray,
@@ -93,6 +115,7 @@ def fused_panel_stats(
     pair_b: jnp.ndarray,
     threshold,
     pairs_disjoint: bool = False,
+    gid: jnp.ndarray | None = None,
 ) -> PanelStats:
     """All panel/pair statistics of one window in one fused pass.
 
@@ -121,32 +144,25 @@ def fused_panel_stats(
         the stripped sides reuse the PANEL groupings/weights, avoiding 2Q
         extra masks in the grouping pass.  Callers verify host-side
         (the built panel masks are host data).
+      gid: optional precomputed [R, N] group ids over panel_mask_stack's
+        mask order (the fully-fused kernel path, fused_window_stats) —
+        skips the grouping pass here.
     """
     n_cap = member.shape[0]
     p_count = pmasks.shape[0]
     q_count = pair_a.shape[0]
 
-    # Hudson pair masks, overlap-stripped (h-fst.py:181-185)
-    mask_a = pmasks[pair_a] & member[None, :]
-    mask_b = pmasks[pair_b] & member[None, :]
-    if not pairs_disjoint:
-        ov = mask_a & mask_b
-        mask_a = mask_a & ~ov
-        mask_b = mask_b & ~ov
+    # Hudson pair masks, overlap-stripped (h-fst.py:181-185), plus the
+    # shared grouping mask stack
+    all_masks, mask_a, mask_b = panel_mask_stack(
+        pmasks, member, pair_a, pair_b, pairs_disjoint)
     a_f = mask_a.astype(jnp.float32)
     b_f = mask_b.astype(jnp.float32)
-
-    unions = pmasks[pair_a] | pmasks[pair_b]
-    # one shared grouping pass for panels + pair-unions (+ both stripped
-    # sides of every Hudson pair when overlap stripping can change them)
     pq = p_count + q_count
-    if pairs_disjoint:
-        all_masks = jnp.concatenate([pmasks, unions], axis=0)
-    else:
-        all_masks = jnp.concatenate([pmasks, unions, mask_a, mask_b],
-                                    axis=0)
 
-    gid = greedy_group_panels(sim, present, member, all_masks, threshold)
+    if gid is None:
+        gid = greedy_group_panels(sim, present, member, all_masks,
+                                  threshold)
     pm = all_masks & member[None, :]
     n_all = jnp.sum(pm.astype(jnp.float32), axis=1)
     sizes = jax.vmap(group_sizes)(gid, pm)
@@ -266,3 +282,56 @@ def fused_panel_stats(
         _assemble(gpi_a, gpi_b, gdxy),
         seed_risk,
     )
+
+
+def fused_window_stats(
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    length,
+    pmasks: jnp.ndarray,
+    pair_a: jnp.ndarray,
+    pair_b: jnp.ndarray,
+    threshold,
+    pairs_disjoint: bool = False,
+) -> tuple:
+    """One window, allele tile in, every panel statistic out.
+
+    On TPU (biallelic tiles, unit weights, lane-aligned caps, short
+    windows) the identity matrix, the shared grouping pass, the group ids
+    AND S run as ONE Mosaic program with the [N, N] working set resident
+    in VMEM (ops/idgroup.py) — measured 9.9 vs 21.7 us/window for the
+    composed stages at the headline shape (r4, tools/bench_panelstep.py);
+    everywhere else it composes identity_from_alleles +
+    greedy_group_panels + segregating_sites with identical semantics
+    (asserted on-chip: sim/present/gid/S all bit-identical).
+
+    Returns (sim, present, s_count f32, PanelStats).
+    """
+    from impop_tpu.stats.allele import (identity_from_alleles,
+                                        segregating_sites)
+
+    n_cap, s_cap = geno.shape
+    use_fused = (
+        jax.default_backend() not in ("cpu",)
+        and n_cap % 128 == 0
+        and s_cap % 128 == 0
+        and s_cap <= 2048   # the operand column stays VMEM-resident
+    )
+    if use_fused:
+        from impop_tpu.ops.idgroup import identity_group_pallas
+
+        all_masks, _, _ = panel_mask_stack(pmasks, member, pair_a, pair_b,
+                                           pairs_disjoint)
+        sim, present, gid, s_count = identity_group_pallas(
+            geno, member, site_mask, all_masks, threshold, length,
+            block=256 if n_cap % 256 == 0 else 128)
+        res = fused_panel_stats(sim, present, member, pmasks, pair_a,
+                                pair_b, threshold,
+                                pairs_disjoint=pairs_disjoint, gid=gid)
+        return sim, present, s_count, res
+    sim, present = identity_from_alleles(geno, member, site_mask, length)
+    s_count = segregating_sites(geno, member, site_mask).astype(jnp.float32)
+    res = fused_panel_stats(sim, present, member, pmasks, pair_a, pair_b,
+                            threshold, pairs_disjoint=pairs_disjoint)
+    return sim, present, s_count, res

@@ -94,3 +94,44 @@ def test_seed_peel_pallas_matches_greedy_group(rng):
                 jnp.asarray(member & pmasks[pi]), 0.995))
             expect = (gid == np.arange(n)) & member & pmasks[pi]
             np.testing.assert_array_equal(seed[pi], expect)
+
+
+def test_identity_group_fused_matches_composition(rng):
+    """ops/idgroup.py (one Mosaic program: z-Gram identity + seed peel +
+    gid + S) must be bit-identical to composing identity_from_alleles +
+    greedy_group_panels + segregating_sites — the scan's TPU fast path
+    (stats.panelstats.fused_window_stats) relies on it."""
+    from impop_tpu.ops.idgroup import identity_group_pallas
+    from impop_tpu.stats.allele import (identity_from_alleles,
+                                        segregating_sites)
+    from impop_tpu.stats.grouping import greedy_group_panels
+
+    n, s, r = 256, 128, 7
+    cls = rng.integers(0, 6, size=n)
+    base = rng.integers(0, 2, size=(6, s)).astype(np.int8)
+    geno = base[cls]
+    geno = np.where(rng.random((n, s)) < 0.01, 1 - geno, geno).astype(np.int8)
+    geno[rng.random((n, s)) < 0.05] = -1
+    geno[-13:] = -1
+    member = np.ones(n, bool); member[-13:] = False
+    smask = np.ones(s, bool); smask[-9:] = False
+    pmasks = rng.random((r, n)) < 0.6
+    t, L = 0.9995, 5000.0
+
+    with pltpu.force_tpu_interpret_mode():
+        sim_p, pres_p, gid_p, s_p = identity_group_pallas(
+            jnp.asarray(geno), jnp.asarray(member), jnp.asarray(smask),
+            jnp.asarray(pmasks), jnp.float32(t), jnp.float32(L), block=128)
+
+    sim_x, pres_x = identity_from_alleles(
+        jnp.asarray(geno), jnp.asarray(member), jnp.asarray(smask),
+        jnp.float32(L))
+    gid_x = greedy_group_panels(sim_x, pres_x, jnp.asarray(member),
+                                jnp.asarray(pmasks), jnp.float32(t))
+    s_x = segregating_sites(jnp.asarray(geno), jnp.asarray(member),
+                            jnp.asarray(smask))
+    np.testing.assert_allclose(np.asarray(sim_p), np.asarray(sim_x),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pres_p), np.asarray(pres_x))
+    np.testing.assert_array_equal(np.asarray(gid_p), np.asarray(gid_x))
+    assert int(s_p) == int(s_x)

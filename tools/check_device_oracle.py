@@ -22,8 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(_HERE), "tests"))
 import numpy as np, jax, jax.numpy as jnp
 import bench as B
 import oracle
-from impop_tpu.stats.allele import identity_from_alleles, segregating_sites
-from impop_tpu.stats.panelstats import fused_panel_stats
+from impop_tpu.stats.panelstats import fused_window_stats
 
 rng = np.random.default_rng(99)
 geno, member, smask, panels, lengths = B.synth_batch(rng, w=8)
@@ -36,10 +35,10 @@ panel_names = list(B.PANEL_SIZES)
 @jax.jit
 def step(g, m, sm, p1, ln):
     def one(g1, m1, sm1, ps, l1):
-        sim, present = identity_from_alleles(g1, m1, sm1, l1)
-        res = fused_panel_stats(sim, present, m1, ps, pair_a, pair_b,
-                                jnp.float32(t), pairs_disjoint=True)
-        return res.pi, res.hudson.fst, res.hudson_grouped.fst, segregating_sites(g1, m1, sm1)
+        _sim, _pres, s_countf, res = fused_window_stats(
+            g1, m1, sm1, l1, ps, pair_a, pair_b, jnp.float32(t),
+            pairs_disjoint=True)
+        return res.pi, res.hudson.fst, res.hudson_grouped.fst, s_countf
     return jax.vmap(one)(g, m, sm, p1, ln)
 
 pi_d, fst_d, fstg_d, s_d = (np.asarray(x) for x in step(
