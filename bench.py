@@ -46,10 +46,17 @@ N_HAP = 466          # HPRC r2 assemblies + CHM13 (doc/where_hprc_data.md)
 CAP_N = 512
 CAP_S = 128          # segregating-site capacity per 5 kb window
 WIN_BP = 5000.0
-W_BATCH = int(os.environ.get("IMPOP_BENCH_BATCH", 320))
-                     # eight 200kb units per device step (throughput saturates
-                     # at ~320 windows/step on v5e: 113 -> 196 units/sec)
+W_BATCH = int(os.environ.get("IMPOP_BENCH_BATCH", 960))
+                     # 24 200kb units per device step.  The saturation point
+                     # moved with the fused idgroup kernel (per-window time
+                     # halved, so dispatch overhead amortises later): r4
+                     # measured 320/640/960 -> 1986/2329/2453 units/s
 ITERS = int(os.environ.get("IMPOP_BENCH_ITERS", 32))
+E2E_BATCH = int(os.environ.get("IMPOP_BENCH_E2E_BATCH", 320))
+                     # the e2e scan keeps smaller batches: its two-stage
+                     # host pipeline (extract worker / build worker) needs
+                     # several chunks in flight to overlap, and 2000
+                     # windows at 960/batch would be only 3 pipeline fills
 UNIT_WINDOWS = 40
 THRESHOLD = 0.999
 
@@ -295,7 +302,7 @@ def bench_e2e_scan():
             argv = ["scan", "-b", bed, "--paf", sim.paf_path,
                     "--fasta", sim.fasta_path, "-P", "CHM13#0#",
                     "-o", os.path.join(tmp, f"out_{tag}.tsv"),
-                    "--batch", str(W_BATCH), "--timing-json", timing]
+                    "--batch", str(E2E_BATCH), "--timing-json", timing]
             main(argv + panel_args)
             with open(timing) as fh:
                 return json.load(fh)

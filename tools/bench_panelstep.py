@@ -91,12 +91,30 @@ def main() -> None:
                 + jnp.sum(res.hudson_grouped.fst)
                 + segregating_sites(g, m, sm))
 
+    def f_idgroup(g, m, sm, p1, ln):
+        from impop_tpu.ops.idgroup import identity_group_pallas
+        from impop_tpu.stats.panelstats import panel_mask_stack
+
+        am, _, _ = panel_mask_stack(p1, m, pair_a, pair_b, True)
+        sim, pres, gid, s = identity_group_pallas(g, m, sm, am, t, ln)
+        return jnp.sum(sim) + jnp.sum(gid) + s
+
+    def f_window(g, m, sm, p1, ln):
+        from impop_tpu.stats.panelstats import fused_window_stats
+
+        _sim, _pres, s, res = fused_window_stats(
+            g, m, sm, ln, p1, pair_a, pair_b, t, pairs_disjoint=True)
+        return (jnp.sum(res.pi) + jnp.sum(res.hudson.fst)
+                + jnp.sum(res.hudson_grouped.fst) + s)
+
     step_full = B.device_pipeline()
 
-    us_i = timeit("identity+S", f_ident)
+    us_i = timeit("identity+S (composed)", f_ident)
     us_sp = timeit("identity+S+seedpeel", f_seedpeel)
     us_g = timeit("identity+S+grouping", f_group)
     us_f = timeit("identity+S+fused_stats", f_fused)
+    us_k = timeit("idgroup kernel (fused)", f_idgroup)
+    us_w = timeit("fused_window_stats", f_window)
 
     # full pipeline via bench.py's own step (adds tajd, f3, packing)
     batch = tuple(jax.device_put(a) for a in
