@@ -131,7 +131,10 @@ def main() -> None:
           f"({w * 16 / dt:9.0f} win/s)", flush=True)
 
     # HBM traffic model of the [N, N] working set per window (f32 sim,
-    # int8 present; S=128 operands are noise): writes+reads per stage
+    # int8 present; S=128 operands are noise).  This table models the
+    # COMPOSED pipeline; the fused idgroup path eliminates the
+    # seedpeel/elink/gid crossings entirely (its [N, N] traffic is the
+    # one sim+pres write plus panelquad's read + seed_risk ≈ 2.9 MB).
     n = 512
     nn = n * n
     traffic = {
