@@ -2710,9 +2710,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--threshold", type=float, default=0.999)
     p.add_argument("-o", "--output")
     p.add_argument("--journal", help="JSONL journal path for resume")
-    p.add_argument("--batch", type=int, default=128,
-                   help="windows per device step (device throughput "
-                        "saturates near 320 on v5e; smaller batches "
+    p.add_argument("--batch", type=int, default=320,
+                   help="windows per device step (device throughput keeps "
+                        "rising through ~960 on v5e with the fused window "
+                        "kernel, but the host extract/build pipeline wants "
+                        "several chunks in flight; smaller batches "
                         "recompile less and resume finer)")
     p.add_argument("--drain-group", type=int, default=4,
                    help="device batches concatenated per result fetch "
