@@ -4,11 +4,21 @@ The reference prototypes (wip/ehh2.py:72-86, wip/ehhgfa.py:6-21) compute
 EHH(i) = (# haplotype pairs identical on sites 0..i) / C(n, 2) with a triple
 Python loop re-comparing whole prefixes at every site — O(S²·n²).
 
-TPU formulation: one lax.scan over the site axis carrying the [N, N] boolean
-"still identical" pair matrix; per step an elementwise AND with the current
-site's equality matrix and a masked pair-count reduction — O(S·n²) fused
-vector work, no prefix recomparison.  The decay to both sides of a focal SNP
-and the area under the curve (wip/ehhgfa.py:47-69) build on the same scan.
+TPU formulation, two tiers:
+
+- CURVES (ehh_forward): one lax.scan over the site axis carrying the
+  [N, N] boolean "still identical" pair matrix; per step an elementwise
+  AND with the current site's equality matrix and a masked pair-count
+  reduction — O(S·n²) fused vector work, no prefix recomparison.
+- AREAS (ehh_pair_death / ehh_area_batch): no scan at all.  The area
+  under the decay curve is Σ_i EHH(i) = Σ_pairs death(pair)/C(n,2),
+  where death = the first disagreeing active site — and death comes
+  straight from MXU matmuls: per 16-site block, the bit-weighted XOR sum
+  D = (x·W)(1−x)ᵀ + ((1−x)·W)xᵀ is an exact integer < 2¹⁶ whose f32
+  EXPONENT field reads back the first set bit (the same trick as
+  stats/grouping's argmin).  The r3/r4 bench scan spent ~14 ms per
+  64-window batch on the S sequential steps; this is a handful of tiny
+  Grams plus [N, N] elementwise mins.
 """
 from __future__ import annotations
 
@@ -16,11 +26,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "ehh_forward",
     "ehh_bidirectional",
     "ehh_decay_from_focal",
+    "ehh_pair_death",
     "ehh_area_batch",
     "EhhResult",
 ]
@@ -65,6 +77,41 @@ def ehh_bidirectional(
     fwd = ehh_forward(geno, member, site_mask)
     rev = ehh_forward(geno[:, ::-1], member, site_mask[::-1])
     return jnp.concatenate([rev[::-1], fwd])
+
+
+def ehh_pair_death(geno: jnp.ndarray, site_mask: jnp.ndarray) -> jnp.ndarray:
+    """First active disagreeing site per haplotype pair; S if they agree
+    on every active site.  Returns [N, N] int32.
+
+    ``geno`` must be BINARISED 0/1 (the ehh_area_batch contract, matching
+    the reference's binarisation — ehhgfa.py:12-14); masked sites agree.
+    Per 16-site block the bit-weighted XOR sum is exact in f32 even under
+    the MXU's default single-pass bf16 product (operands are powers of
+    two and 0/1 indicators), and its exponent field IS the first
+    disagreeing position.
+    """
+    n, s = geno.shape
+    if s == 0:
+        return jnp.zeros((n, n), jnp.int32)
+    kb = 16
+    s_pad = ((s + kb - 1) // kb) * kb
+    x = jnp.where(site_mask, geno, 0).astype(jnp.float32)
+    x = jnp.pad(x, ((0, 0), (0, s_pad - s)))
+    # exact powers of two (host-side: jnp.exp2 is approximate)
+    w16 = jnp.asarray(np.exp2(np.arange(kb - 1, -1, -1, dtype=np.float64)),
+                      jnp.float32)[None, :]
+    death = jnp.full((n, n), s, jnp.int32)
+    for b in range(s_pad // kb):
+        xb = x[:, b * kb:(b + 1) * kb]
+        cb = 1.0 - xb
+        d_bits = (
+            jnp.dot(xb * w16, cb.T, preferred_element_type=jnp.float32)
+            + jnp.dot(cb * w16, xb.T, preferred_element_type=jnp.float32)
+        )
+        expo = (jax.lax.bitcast_convert_type(d_bits, jnp.int32) >> 23) - 127
+        fd = jnp.where(d_bits > 0, (kb - 1) - expo + b * kb, s)
+        death = jnp.minimum(death, fd)
+    return death
 
 
 class EhhResult(NamedTuple):
@@ -146,20 +193,32 @@ def ehh_area_batch(
     def one_window(g, m, sm):
         def per_allele(al):
             carriers = m & (g[:, focal] == al)
-            right_ehh = ehh_forward(g[:, focal + 1:], carriers,
-                                    sm[focal + 1:])
+            n_c = jnp.sum(carriers.astype(jnp.float32))
+            denom = jnp.maximum(n_c * (n_c - 1.0) * 0.5, 1.0)
+            pairs = _pair_mask(carriers)
+
+            def dir_area(sub_g, sub_sm):
+                # area = Σ_i EHH(i) = Σ_pairs death(pair)/denom — the
+                # death-site formulation replaces the per-site scan
+                # (ehh_pair_death); the pair sum stays in int32 (exact:
+                # < N²·S < 2³¹) before the one float division, which is
+                # MORE accurate than the old per-site f32 accumulation
+                death = ehh_pair_death(sub_g, sub_sm)
+                total = jnp.sum(jnp.where(pairs, death, 0))
+                return total.astype(jnp.float32) / denom
+
+            right_area = dir_area(g[:, focal + 1:], sm[focal + 1:])
             if compat_right_for_left:
                 # the reference feeds the REVERSED right suffix to the left
                 # branch (ehhgfa.py:58-62: `left = right` before the flip)
-                left_ehh = ehh_forward(g[:, focal + 1:][:, ::-1], carriers,
-                                       sm[focal + 1:][::-1])
+                left_area = dir_area(g[:, focal + 1:][:, ::-1],
+                                     sm[focal + 1:][::-1])
             elif focal > 0:
-                left_ehh = ehh_forward(g[:, :focal][:, ::-1], carriers,
-                                       sm[:focal][::-1])
+                left_area = dir_area(g[:, :focal][:, ::-1],
+                                     sm[:focal][::-1])
             else:
-                left_ehh = jnp.zeros((0,), jnp.float32)
-            # area = cumsum(curve)[-1] = Σ left + Σ right (ehhgfa.py:64-65)
-            area = jnp.sum(left_ehh) + jnp.sum(right_ehh)
+                left_area = jnp.float32(0.0)
+            area = left_area + right_area
             return area, jnp.sum(carriers.astype(jnp.int32))
 
         return jax.vmap(per_allele)(alleles)

@@ -188,3 +188,35 @@ def test_ehh_cli_from_extraction_path(tmp_path):
             if half.shape[1]:
                 want += float(np.sum(oracle_ehh(half)))
         np.testing.assert_allclose(float(area), want, atol=1e-4)
+
+
+def test_pair_death_area_matches_scan_formulation(rng):
+    """The matmul death-site area (ehh_pair_death) must equal the per-site
+    scan's summed curve: area = sum_i EHH(i) = sum_pairs death/denom."""
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.ehh import ehh_forward, ehh_pair_death
+
+    n, s = 48, 37   # deliberately not a 16-multiple
+    geno = rng.integers(0, 2, size=(n, s)).astype(np.int8)
+    member = rng.random(n) < 0.8
+    smask = rng.random(s) < 0.85
+
+    curve = np.asarray(ehh_forward(jnp.asarray(geno), jnp.asarray(member),
+                                   jnp.asarray(smask)))
+    death = np.asarray(ehh_pair_death(jnp.asarray(geno),
+                                      jnp.asarray(smask)))
+    upper = np.triu(np.ones((n, n), bool), k=1)
+    pairs = upper & member[:, None] & member[None, :]
+    n_m = int(member.sum())
+    denom = max(n_m * (n_m - 1) / 2.0, 1.0)
+    area_death = death[pairs].sum() / denom
+    np.testing.assert_allclose(curve.sum(), area_death, rtol=1e-5)
+
+    # death itself pinned against a direct numpy recomputation
+    g2 = np.where(smask[None, :], geno, 0)
+    for _ in range(200):
+        i, j = rng.integers(0, n, 2)
+        d = np.nonzero(g2[i] != g2[j])[0]
+        expect = int(d[0]) if d.size else s
+        assert death[i, j] == expect, (i, j, death[i, j], expect)
