@@ -342,9 +342,9 @@ def bench_python_reference(batch, n_windows=1):
         g = geno[wi][member[wi]][:, site_mask[wi]]
         n, s = g.shape
         names = [f"h{i:04d}" for i in range(n)]
-        t0 = time.perf_counter()
-        # identity matrix from pairwise hamming (the part impg does natively;
-        # counted for neither side: build outside the timer)
+        # the numpy pairwise-hamming identity build IS timed (both sides
+        # compute identity from alleles; vectorised numpy is far cheaper
+        # than impg's real alignment product, so this is conservative)
         t0 = time.perf_counter()
         diff = (g[:, None, :] != g[None, :, :]).sum(-1)
         sim_mat = 1.0 - diff / WIN_BP
@@ -386,11 +386,23 @@ def main():
     units_per_sec = windows_per_sec / UNIT_WINDOWS
 
     try:
-        # >=10 windows so the extrapolation doesn't hang off one sample
-        py_windows_per_sec = bench_python_reference(batch, n_windows=10)
-        vs_baseline = windows_per_sec / py_windows_per_sec
+        # 10 windows per pass, best of 3 passes (CLAUDE.md A/B protocol:
+        # identical CPU-bound runs swing ~3x under this host's CPU steal).
+        # The BEST python rate is used, which gives the SMALLEST — i.e.
+        # most conservative — multiplier; the spread is reported alongside.
+        rates = [bench_python_reference(batch, n_windows=10)
+                 for _ in range(3)]
+        py_best = max(rates)
+        vs_baseline = windows_per_sec / py_best
+        vs_detail = {
+            "windows": 10, "best_of": 3,
+            "spread_pct": round(
+                100.0 * (max(rates) - min(rates)) / max(rates), 1),
+            "py_windows_per_sec": [round(r, 2) for r in rates],
+        }
     except Exception:
         vs_baseline = float("nan")
+        vs_detail = {}
 
     try:
         long_window = bench_long_window()
@@ -412,6 +424,7 @@ def main():
         "value": round(units_per_sec, 4),
         "unit": "200kb-units/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline_detail": vs_detail,
         "e2e": e2e,
         "long_window": long_window,
         "ehh": ehh,

@@ -331,18 +331,24 @@ void ix_batch_pack_all(void* batch, unsigned char* out, long long stride,
             wm.geno.data() + row * std::max<int64_t>(wm.s, 1);
         unsigned char* dst = p + row * gb;
         const long long s4 = wm.s & ~3LL;
+        // codes: -1 -> 0, 0 -> 1, 1 -> 2 (2 bits each, LSB-first).
+        // PRECONDITION: wm.geno is biallelic (codes in [-1, 1]) — the
+        // native extractor emits one column per (pos, ref, alt) so this
+        // always holds; the `& 3u` field mask makes a contract-violating
+        // code corrupt at most ITS OWN site instead of ORing a stray bit
+        // into the neighbouring field (the Python pack path rejects such
+        // input loudly — cli.pack_scan_batch).
         for (long long sq = 0; sq < s4; sq += 4) {
-          // codes: -1 -> 0, 0 -> 1, 1 -> 2 (2 bits each, LSB-first)
           dst[sq >> 2] = static_cast<unsigned char>(
-              static_cast<unsigned char>(src[sq] + 1) |
-              (static_cast<unsigned char>(src[sq + 1] + 1) << 2) |
-              (static_cast<unsigned char>(src[sq + 2] + 1) << 4) |
-              (static_cast<unsigned char>(src[sq + 3] + 1) << 6));
+              (static_cast<unsigned char>(src[sq] + 1) & 3u) |
+              ((static_cast<unsigned char>(src[sq + 1] + 1) & 3u) << 2) |
+              ((static_cast<unsigned char>(src[sq + 2] + 1) & 3u) << 4) |
+              ((static_cast<unsigned char>(src[sq + 3] + 1) & 3u) << 6));
         }
         for (long long sq = s4; sq < wm.s; ++sq) {
           dst[sq >> 2] = static_cast<unsigned char>(
-              dst[sq >> 2] |
-              (static_cast<unsigned char>(src[sq] + 1) << ((sq & 3) * 2)));
+              dst[sq >> 2] | ((static_cast<unsigned char>(src[sq] + 1) & 3u)
+                              << ((sq & 3) * 2)));
         }
         p[o_m + (row >> 3)] = static_cast<unsigned char>(
             p[o_m + (row >> 3)] | (1u << (row & 7)));

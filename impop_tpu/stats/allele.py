@@ -217,8 +217,13 @@ def identity_from_alleles(
     sim = jnp.where(present, 1.0 - diff / jnp.maximum(length, 1.0), 0.0)
     n_cap = member.shape[0]
     eye = jnp.eye(n_cap, dtype=bool)
-    sim = jnp.where(eye & member[:, None], 1.0, sim)
-    return sim, present
+    diag = eye & member[:, None]
+    sim = jnp.where(diag, 1.0, sim)
+    # present includes the member diagonal on every backend (a member row
+    # with ZERO valid calls still presents its self-pair) so the CPU
+    # fallback agrees bit-for-bit with the TPU z-Gram / Pallas paths above
+    # on the degenerate zero-coverage-member case (r4 advisor finding).
+    return sim, present | diag
 
 
 def segregating_sites(

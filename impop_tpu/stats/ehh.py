@@ -200,12 +200,16 @@ def ehh_area_batch(
             def dir_area(sub_g, sub_sm):
                 # area = Σ_i EHH(i) = Σ_pairs death(pair)/denom — the
                 # death-site formulation replaces the per-site scan
-                # (ehh_pair_death); the pair sum stays in int32 (exact:
-                # < N²·S < 2³¹) before the one float division, which is
-                # MORE accurate than the old per-site f32 accumulation
+                # (ehh_pair_death).  Per-ROW sums stay int32 (exact:
+                # row sum ≤ N·S < 2³¹ for any realistic window); the
+                # cross-row accumulation runs in f32 because the full
+                # C(N,2)·S bound is user-controlled (--window) and wrapped
+                # the old all-int32 sum at e.g. N=1024, S≳4100 (r4
+                # advisor finding).
                 death = ehh_pair_death(sub_g, sub_sm)
-                total = jnp.sum(jnp.where(pairs, death, 0))
-                return total.astype(jnp.float32) / denom
+                rows = jnp.sum(jnp.where(pairs, death, 0), axis=1)
+                total = jnp.sum(rows.astype(jnp.float32))
+                return total / denom
 
             right_area = dir_area(g[:, focal + 1:], sm[focal + 1:])
             if compat_right_for_left:

@@ -58,6 +58,50 @@ def main() -> int:
             assert member[i, :n].all() and not member[i, n:].any()
             assert smask[i, :s].all() and not smask[i, s:].any()
 
+        # 4) threaded wire pack (ix_batch_pack_all — the scan's hot-path
+        # C entry point) vs a numpy reference pack, with skipped rows
+        batch = nat.extract_batch_open("chr1", wins, threads=threads)
+        try:
+            cap_n = (max(n for n, _ in batch.dims) + 7) // 8 * 8
+            cap_s = (max(s for _, s in batch.dims) + 127) // 128 * 128
+            o_m = cap_n * (cap_s // 4)
+            o_sm = o_m + cap_n // 8
+            o_w = o_sm + cap_s // 8
+            stride = o_w + 4 * cap_s
+            skip = {3, 11}
+            out_rows, r = [], 0
+            for i in range(batch.count):
+                if i in skip:
+                    out_rows.append(-1)
+                else:
+                    out_rows.append(r)
+                    r += 1
+            flat = np.zeros((r, stride), np.uint8)
+            batch.pack_into(flat, out_rows, cap_n, cap_s, o_m, o_sm, o_w,
+                            threads=threads)
+            for i, wm in enumerate(mats):
+                if out_rows[i] < 0:
+                    continue
+                row = flat[out_rows[i]]
+                n, s = wm.geno.shape
+                codes = np.zeros((n, cap_s), np.uint8)
+                codes[:, :s] = (wm.geno.astype(np.int16) + 1).astype(np.uint8)
+                c4 = codes.reshape(n, -1, 4)
+                exp = (c4[..., 0] | (c4[..., 1] << 2)
+                       | (c4[..., 2] << 4) | (c4[..., 3] << 6))
+                got = row[:o_m].reshape(cap_n, cap_s // 4)
+                assert np.array_equal(got[:n], exp), i
+                assert not got[n:].any(), i
+                mb = np.unpackbits(row[o_m:o_sm], bitorder="little")[:cap_n]
+                assert mb[:n].all() and not mb[n:].any(), i
+                sb = np.unpackbits(row[o_sm:o_w], bitorder="little")[:cap_s]
+                assert sb[:s].all() and not sb[s:].any(), i
+                w = row[o_w:].view(np.float32)
+                assert np.array_equal(w[:s], wts[i, :s]), i
+                assert (w[s:] == 1.0).all(), i
+        finally:
+            batch.close()
+
     # split_window_matrix consistency keeps the host-side range splitter in
     # the smoke too (pure numpy)
     whole = py.extract("chr1", 0, 8000)
