@@ -107,14 +107,15 @@ def device_pipeline():
     t = jnp.float32(THRESHOLD)
 
     def one_window(g, m, smask, panels1, length):
-        # identity + shared grouping + S as ONE Mosaic program on TPU
-        # (ops/idgroup.py), then all 5 panel π + 10 pair-union π + 10
-        # Hudson pairs through ONE fused reduction kernel (the reference
-        # runs 35 impg+pica2/h-fst process pairs for the same work)
+        # the ENTIRE per-window program — identity + shared grouping +
+        # group-size weights + the stacked panel reduction + S — as ONE
+        # Mosaic kernel on TPU (ops/windowstat.py): nothing of shape
+        # [N, N] ever crosses HBM (the reference runs 35
+        # impg+pica2/h-fst process pairs for the same work)
         # bench panels are disjoint by construction (host-verified layout)
         _sim, _present, s_countf, res = fused_window_stats(
             g, m, smask, length, panels1, pair_a, pair_b, t,
-            pairs_disjoint=True)
+            pairs_disjoint=True, return_matrices=False)
         p_count = panels1.shape[0]
         pi_panel = res.pi[:p_count]
         pi_c = res.pi[p_count:]
@@ -241,6 +242,51 @@ def bench_ehh(iters=8, w=64, n=CAP_N, s=CAP_S):
     for _ in range(iters):
         out = ehh_area_batch(g_d, m_d, sm_d, s // 2, alleles)
     _ = np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    return {"windows_per_sec": round(w * iters / dt, 1),
+            "units_per_sec": round(w * iters / dt / UNIT_WINDOWS, 2)}
+
+
+def bench_ehh_fused(iters=8, w=E2E_BATCH):
+    """EHH inside the fused scan (`scan --ehh`): the full panel workload
+    PLUS bidirectional decay areas/carriers for both alleles at a
+    per-window focal column, one device program (the dynamic-focal
+    formulation, stats/ehh.ehh_area_dynamic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.ehh import ehh_area_dynamic
+    from impop_tpu.stats.panelstats import fused_window_stats
+
+    rng = np.random.default_rng(17)
+    geno, member, smask, panels, lengths = synth_batch(rng, w=w)
+    focals = rng.integers(0, 20, size=w).astype(np.int32)  # always active
+
+    pair_a = jnp.asarray(
+        [list(PANEL_SIZES).index(a) for a, _ in PAIRS], jnp.int32)
+    pair_b = jnp.asarray(
+        [list(PANEL_SIZES).index(b) for _, b in PAIRS], jnp.int32)
+    t = jnp.float32(THRESHOLD)
+
+    def one_window(g, m, sm, p1, ln, fi):
+        _s, _p, s_countf, res = fused_window_stats(
+            g, m, sm, ln, p1, pair_a, pair_b, t,
+            pairs_disjoint=True, return_matrices=False)
+        xb = (g == 1).astype(jnp.int8)
+        area, carr = ehh_area_dynamic(xb, m, sm, fi, alleles=(0, 1))
+        return jnp.concatenate([
+            res.pi, res.hudson.fst, res.hudson_grouped.fst,
+            area, carr.astype(jnp.float32), s_countf.reshape(1)])
+
+    step = jax.jit(jax.vmap(one_window))
+    batch = tuple(jax.device_put(jnp.asarray(a))
+                  for a in (geno, member, smask, panels, lengths, focals))
+    out = step(*batch)
+    _ = np.asarray(out)
+    t0 = time.perf_counter()
+    for _i in range(iters):
+        out = step(*batch)
+    _ = np.asarray(out)
     dt = time.perf_counter() - t0
     return {"windows_per_sec": round(w * iters / dt, 1),
             "units_per_sec": round(w * iters / dt / UNIT_WINDOWS, 2)}
@@ -415,6 +461,11 @@ def main():
         ehh = {"error": str(e)[:200]}
 
     try:
+        ehh_fused = bench_ehh_fused()
+    except Exception as e:
+        ehh_fused = {"error": str(e)[:200]}
+
+    try:
         e2e = bench_e2e_scan()
     except Exception as e:
         e2e = {"error": str(e)[:200]}
@@ -428,6 +479,7 @@ def main():
         "e2e": e2e,
         "long_window": long_window,
         "ehh": ehh,
+        "ehh_fused": ehh_fused,
     }))
 
 

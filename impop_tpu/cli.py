@@ -1053,14 +1053,16 @@ def cmd_panels_tajd(args) -> int:
 
 
 def _scan_buf_layout(cap_n: int, cap_s: int, p_count: int,
-                     use_weights: bool) -> Dict[str, int]:
+                     use_weights: bool, use_ehh: bool = False
+                     ) -> Dict[str, int]:
     """Byte offsets of the per-window fused input buffer.
 
     Segments: 2-bit allele codes, member bitmask, site bitmask, panel
     bitmasks, window length (uint32 LE), optional site weights (f32 LE —
     full precision: weights are indel base lengths and an integer wire
     type would silently clamp SVs > its range; 4*cap_s bytes is noise
-    next to the geno segment).
+    next to the geno segment), optional EHH focal column index
+    (uint32 LE — `scan --ehh`).
     cap_n % 8 == 0 and cap_s % 128 == 0 by _capacity_for / cap rounding.
     """
     o_g = 0
@@ -1069,15 +1071,17 @@ def _scan_buf_layout(cap_n: int, cap_s: int, p_count: int,
     o_p = o_sm + cap_s // 8
     o_l = o_p + p_count * (cap_n // 8)
     o_w = o_l + 4
-    total = o_w + (4 * cap_s if use_weights else 0)
+    o_f = o_w + (4 * cap_s if use_weights else 0)
+    total = o_f + (4 if use_ehh else 0)
     return {"g": o_g, "m": o_m, "sm": o_sm, "p": o_p, "l": o_l, "w": o_w,
-            "total": total}
+            "f": o_f, "total": total}
 
 
 def pack_scan_batch(geno: np.ndarray, member: np.ndarray, smask: np.ndarray,
                     panels: np.ndarray, lengths: np.ndarray,
                     wts: Optional[np.ndarray],
-                    use_weights: bool) -> np.ndarray:
+                    use_weights: bool,
+                    focals: Optional[np.ndarray] = None) -> np.ndarray:
     """Host-side fused pack -> [w, K] uint8 (layout: _scan_buf_layout).
 
     Runs on the prefetch worker thread; pure numpy, no device access.
@@ -1106,20 +1110,27 @@ def pack_scan_batch(geno: np.ndarray, member: np.ndarray, smask: np.ndarray,
             np.ascontiguousarray(wts.astype(np.float32))
             .view(np.uint8).reshape(w, -1)
         )
+    if focals is not None:
+        segs.append(
+            np.ascontiguousarray(focals.astype(np.uint32))
+            .view(np.uint8).reshape(w, 4)
+        )
     return np.concatenate(segs, axis=1)
 
 
 import functools as _functools
 
 
-def _wire_unpacker(cap_n: int, cap_s: int, p_count: int, use_weights: bool):
+def _wire_unpacker(cap_n: int, cap_s: int, p_count: int, use_weights: bool,
+                   use_ehh: bool = False):
     """Device-side decoder of the fused wire buffer (_scan_buf_layout):
-    one traced fn flat[K] -> (geno, member, smask, panels, length, wts),
-    shared by the fused scan step and the exact-FSTG recompute step."""
+    one traced fn flat[K] -> (geno, member, smask, panels, length, wts,
+    focal), shared by the fused scan step and the exact-FSTG recompute
+    step."""
     import jax
     import jax.numpy as jnp
 
-    lay = _scan_buf_layout(cap_n, cap_s, p_count, use_weights)
+    lay = _scan_buf_layout(cap_n, cap_s, p_count, use_weights, use_ehh)
     bitsh = jnp.arange(8, dtype=jnp.uint8)
 
     def unpack_bits(seg, n):
@@ -1147,7 +1158,13 @@ def _wire_unpacker(cap_n: int, cap_s: int, p_count: int, use_weights: bool):
             wts = jax.lax.bitcast_convert_type(bits, jnp.float32)
         else:
             wts = None
-        return g, m, smask, panels1, length, wts
+        if use_ehh:
+            fb = flat[lay["f"]:lay["f"] + 4].astype(jnp.uint32)
+            focal = (fb[0] | (fb[1] << 8) | (fb[2] << 16)
+                     | (fb[3] << 24)).astype(jnp.int32)
+        else:
+            focal = None
+        return g, m, smask, panels1, length, wts, focal
 
     return unpack
 
@@ -1189,7 +1206,7 @@ def _scan_step_fstg_exact(cap_n: int, cap_s: int, p_count: int,
     t = jnp.float32(threshold)
 
     def one_window(flat):
-        g, m, smask, panels1, length, wts = unpack(flat)
+        g, m, smask, panels1, length, wts, _focal = unpack(flat)
         sim, present = identity_from_alleles(g, m, smask, length,
                                              site_weights=wts)
         ma = panels1[pair_a] & m[None, :]
@@ -1210,7 +1227,7 @@ def _scan_step_fstg_exact(cap_n: int, cap_s: int, p_count: int,
 def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
                threshold: float, use_weights: bool, want_afs: bool,
                afs_bins: int, afs_folded: bool, pairs_disjoint: bool,
-               devs: tuple):
+               devs: tuple, want_ehh: bool = False):
     """Compiled fused scan step for one (shape, config) signature.
 
     Returns a jitted fn mapping the fused uint8 batch buffer [w, K] to the
@@ -1231,18 +1248,20 @@ def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
     pair_b = jnp.asarray([b for _, b in pair_key] or [0], jnp.int32)
     with_pairs = bool(pair_key)
     t = jnp.float32(threshold)
-    unpack = _wire_unpacker(cap_n, cap_s, p_count, use_weights)
+    unpack = _wire_unpacker(cap_n, cap_s, p_count, use_weights, want_ehh)
 
     def one_window(flat):
         # fused unpack of the wire format (one elementwise prologue)
-        g, m, smask, panels1, length, wts = unpack(flat)
+        g, m, smask, panels1, length, wts, focal = unpack(flat)
 
         if wts is None:
-            # unit weights: identity + grouping + S as ONE Mosaic program
-            # on TPU (ops/idgroup.py via fused_window_stats)
+            # unit weights: the ENTIRE per-window program (identity +
+            # grouping + group weights + panel reduction + S) as ONE
+            # Mosaic kernel on TPU — nothing of shape [N, N] crosses HBM
+            # (ops/windowstat.py via fused_window_stats)
             _sim, _present, s_countf, res = fused_window_stats(
                 g, m, smask, length, panels1, pair_a, pair_b, t,
-                pairs_disjoint=pairs_disjoint)
+                pairs_disjoint=pairs_disjoint, return_matrices=False)
         else:
             sim, present = identity_from_alleles(g, m, smask, length,
                                                  site_weights=wts)
@@ -1265,6 +1284,20 @@ def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
         afs = (panel_afs(g, m, smask, panels1, afs_bins, afs_folded)
                if want_afs
                else jnp.zeros((p_count, 1), jnp.int32))
+        if want_ehh:
+            # bidirectional decay areas + carrier counts for both alleles
+            # at the window's focal column (wip/ehhgfa.py:47-69 capability)
+            # as four extra packed values — the dynamic-focal formulation
+            # shares the one compiled shape (stats/ehh.ehh_area_dynamic)
+            from impop_tpu.stats.ehh import ehh_area_dynamic
+
+            xb = (g == 1).astype(jnp.int8)
+            e_area, e_carr = ehh_area_dynamic(xb, m, smask, focal,
+                                              alleles=(0, 1))
+            ehh_vals = jnp.concatenate(
+                [e_area, e_carr.astype(jnp.float32)])
+        else:
+            ehh_vals = jnp.zeros((0,), jnp.float32)
         # ONE packed f32 row per window: through the remote-TPU tunnel each
         # fetched array is its own device-to-host round trip (~100 ms).
         # All packed values are exact in f32 (counts < 2^24).  seed_risk
@@ -1276,6 +1309,7 @@ def _scan_step(cap_n: int, cap_s: int, p_count: int, pair_key: tuple,
             s_countf.reshape(1),
             n_all.reshape(1).astype(jnp.float32),
             res.seed_risk.reshape(1).astype(jnp.float32),
+            ehh_vals,
             afs.reshape(-1).astype(jnp.float32),
         ])
 
@@ -1377,6 +1411,8 @@ def cmd_scan(args) -> int:
             tuple(n.split(":", 1)[0] for n in names_key)
         )
 
+    want_ehh = bool(getattr(args, "ehh", False))
+
     header = ["REGION", "LENGTH", "SAMPLES", "SEGREGATING_SITES"]
     if panel_lists:
         for name in panel_names:
@@ -1387,6 +1423,9 @@ def cmd_scan(args) -> int:
                        f"FST3_{panel_names[i]}_{panel_names[j]}"]
     else:
         header += ["PI", "TAJIMAS_D"]
+    if want_ehh:
+        header += ["EHH_FOCAL", "EHH_AREA_REF", "EHH_CARR_REF",
+                   "EHH_AREA_ALT", "EHH_CARR_ALT"]
 
     # host copies for the prefetch worker's disjointness check — fetching a
     # device array there synced with the TPU tunnel inside the build stage,
@@ -1398,6 +1437,33 @@ def cmd_scan(args) -> int:
     want_afs = bool(getattr(args, "afs", None))
     afs_bins = getattr(args, "afs_bins", 512)
     afs_folded = not getattr(args, "afs_unfolded", False)
+    # --ehh-focal: "chrom pos" lines; a window containing a listed
+    # position anchors its EHH focal there instead of the midpoint
+    ehh_targets: Dict[str, list] = {}
+    if want_ehh and getattr(args, "ehh_focal", None):
+        with open(args.ehh_focal) as fh:
+            for ln in fh:
+                parts = ln.split()
+                if len(parts) >= 2 and not ln.startswith("#"):
+                    ehh_targets.setdefault(parts[0], []).append(
+                        int(parts[1]))
+    ehh_focal_pos: Dict[str, int] = {}  # rs -> genomic position used
+
+    def _ehh_focal_index(reg, rs, pos_arr) -> int:
+        """Focal column = variant nearest the target position (an
+        --ehh-focal entry inside the window, else the midpoint).  The
+        chosen genomic position is recorded for the output row."""
+        if pos_arr is None or len(pos_arr) == 0:
+            return 0
+        target = (reg.start + reg.end) // 2
+        for p in ehh_targets.get(reg.chrom, ()):
+            if reg.start <= p < reg.end:
+                target = p
+                break
+        pos_arr = np.asarray(pos_arr)
+        fi = int(np.argmin(np.abs(pos_arr - target)))
+        ehh_focal_pos[rs] = int(pos_arr[fi])
+        return fi
 
     with_pairs = bool(pair_list)
 
@@ -1411,7 +1477,8 @@ def cmd_scan(args) -> int:
     _o_s = _o_f3 + q_eff
     _o_n = _o_s + 1
     _o_risk = _o_n + 1
-    _o_afs = _o_risk + 1
+    _o_ehh = _o_risk + 1
+    _o_afs = _o_ehh + (4 if want_ehh else 0)
 
     # shard the window batch over every LOCAL device; a single chip
     # degenerates to plain placement.  Multi-device uses shard_map (not
@@ -1436,7 +1503,8 @@ def cmd_scan(args) -> int:
         same process reuses the compiled executable."""
         return _scan_step(cap_n, cap_s, p_count, tuple(pair_list),
                           float(args.threshold), use_weights, want_afs,
-                          afs_bins, afs_folded, pairs_disjoint, devs_key)
+                          afs_bins, afs_folded, pairs_disjoint, devs_key,
+                          want_ehh)
 
     def step_is_new(pairs_disjoint: bool, cap_n: int, cap_s: int,
                     w: int) -> bool:
@@ -1444,7 +1512,7 @@ def cmd_scan(args) -> int:
         the jit compile — timed under the 'compile' stage, not 'device'."""
         sig = (pairs_disjoint, cap_n, cap_s, p_count, tuple(pair_list),
                float(args.threshold), use_weights, want_afs, afs_bins,
-               afs_folded, devs_key, w)
+               afs_folded, devs_key, w, want_ehh)
         if sig in _COMPILED_SIGS:
             return False
         _COMPILED_SIGS.add(sig)
@@ -1463,9 +1531,9 @@ def cmd_scan(args) -> int:
         return (jax.device_put(flat, window_sharding(mesh, flat.ndim)),)
 
     def put_batch(arrays):
-        geno, member, smask, panels, lengths, wts = arrays
+        geno, member, smask, panels, lengths, wts, focals = arrays
         flat = pack_scan_batch(geno, member, smask, panels, lengths, wts,
-                               use_weights)
+                               use_weights, focals)
         return put_flat(flat)
 
     afs_total = (np.zeros((p_count, afs_bins + 1), np.int64)
@@ -1577,7 +1645,8 @@ def cmd_scan(args) -> int:
                 cap_hint[0] = max(cap_hint[0], cap_n)
                 cap_hint[1] = max(cap_hint[1], cap_s)
                 w = batch_size if n_chunks > 1 else len(kept)
-                lay = _scan_buf_layout(cap_n, cap_s, p_count, use_weights)
+                lay = _scan_buf_layout(cap_n, cap_s, p_count, use_weights,
+                                       want_ehh)
                 flat = np.zeros((w, lay["total"]), np.uint8)
                 row_of = {key: wi for wi, key in enumerate(rows)}
                 for gi, nb in enumerate(batches):
@@ -1588,10 +1657,14 @@ def cmd_scan(args) -> int:
                         lay["w"] if use_weights else -1)
                 panels = np.zeros((w, p_count, cap_n), bool)
                 lengths = np.zeros(w, np.uint32)
+                focals = np.zeros(w, np.uint32) if want_ehh else None
                 mask_by_id: dict = {}
                 for wi, ((gi, k), (reg, rs)) in enumerate(zip(rows, kept)):
                     lengths[wi] = reg.length
                     nm = batches[gi].names(k)
+                    if want_ehh:
+                        focals[wi] = _ehh_focal_index(
+                            reg, rs, batches[gi].site_pos(k))
                     if panel_lists:
                         m = mask_by_id.get(id(nm))
                         if m is None:
@@ -1607,6 +1680,10 @@ def cmd_scan(args) -> int:
                 flat[:, lay["l"]:lay["l"] + 4] = (
                     np.ascontiguousarray(lengths.astype("<u4"))
                     .view(np.uint8).reshape(w, 4))
+                if want_ehh:
+                    flat[:, lay["f"]:lay["f"] + 4] = (
+                        np.ascontiguousarray(focals.astype("<u4"))
+                        .view(np.uint8).reshape(w, 4))
                 disjoint = bool(with_pairs) and not bool(
                     (panels[:, pair_a_np] & panels[:, pair_b_np]).any()
                 )
@@ -1651,6 +1728,7 @@ def cmd_scan(args) -> int:
                 panels = np.zeros((w, p_count, cap_n), bool)
                 lengths = np.zeros(w, np.float32)
                 wts = np.ones((w, cap_s), np.float32)
+                focals = np.zeros(w, np.uint32) if want_ehh else None
                 for wi, ((g, names, keys), (reg, rs)) in enumerate(
                         zip(tiles, kept)):
                     n, s = g.shape
@@ -1662,6 +1740,10 @@ def cmd_scan(args) -> int:
                         from impop_tpu.extract import site_weights_from_keys
 
                         wts[wi, :s] = site_weights_from_keys(keys)
+                    if want_ehh:
+                        pos = ([int(k.split(":", 1)[0]) for k in keys]
+                               if keys is not None else None)
+                        focals[wi] = _ehh_focal_index(reg, rs, pos)
                     if panel_lists:
                         panels[wi, :, :n] = panel_masks_for(tuple(names))
                     else:
@@ -1673,7 +1755,7 @@ def cmd_scan(args) -> int:
                 )
             with timers.stage("h2d"):
                 dev_args = put_batch((geno, member, smask, panels, lengths,
-                                      wts))
+                                      wts, focals))
             return dev_args, kept, failures, disjoint, (cap_n, cap_s)
 
         # two-stage worker pipeline: chunk k+1's C++ extraction runs on one
@@ -1716,6 +1798,7 @@ def cmd_scan(args) -> int:
             f3_v = packed[:, _o_f3:_o_s]
             s_v = packed[:, _o_s]
             n_v = packed[:, _o_n]
+            ehh_v = packed[:, _o_ehh:_o_afs]
             afs_v = packed[:, _o_afs:].reshape(packed.shape[0], p_count, -1)
             timers.add_windows(len(kept))
             for wi, (reg, rs) in enumerate(kept):
@@ -1736,6 +1819,16 @@ def cmd_scan(args) -> int:
                             f"{fg_val:.8f}",
                             "NA" if np.isnan(f3_val) else f"{f3_val:.8f}",
                         ]
+                if want_ehh:
+                    # [area_ref, area_alt, carriers_ref, carriers_alt]
+                    fp = ehh_focal_pos.get(rs)
+                    cells += [
+                        "NA" if fp is None else str(fp),
+                        f"{float(ehh_v[wi, 0]):.6f}",
+                        str(int(ehh_v[wi, 2])),
+                        f"{float(ehh_v[wi, 1]):.6f}",
+                        str(int(ehh_v[wi, 3])),
+                    ]
                 row = "\t".join(cells)
                 if args.log_dir:
                     payload = {
@@ -2702,6 +2795,15 @@ def build_parser() -> argparse.ArgumentParser:
                                  "(journal-aware on resume)")
     p.add_argument("--afs-bins", type=int, default=512,
                    help="spectrum histogram bins (default 512)")
+    p.add_argument("--ehh", action="store_true",
+                   help="append bidirectional EHH decay areas + carrier "
+                        "counts for both alleles at each window's focal "
+                        "variant (nearest the midpoint, or an --ehh-focal "
+                        "position) — the wip/ehhgfa.py capability inside "
+                        "the fused scan")
+    p.add_argument("--ehh-focal",
+                   help="file of 'chrom pos' lines anchoring the EHH "
+                        "focal site of the containing window")
     p.add_argument("--afs-unfolded", action="store_true",
                    help="derived-allele spectrum (default: folded minor)")
     p.add_argument("--panel", action="append", default=[],

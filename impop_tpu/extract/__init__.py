@@ -156,6 +156,17 @@ class NativeBatch:
             self._blob_cache[blob] = cached
         return cached
 
+    def site_pos(self, i: int) -> np.ndarray:
+        """Absolute variant positions of window i's site columns."""
+        n, s = self.dims[i]
+        out = np.zeros(max(s, 1), np.int64)
+        if s:
+            res = self._lib.ix_batch_result(self._handle, i)
+            self._lib.ix_copy_site_pos(
+                res, out.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_longlong)))
+        return out[:s]
+
     def pack_into(self, flat: np.ndarray, out_rows, cap_n: int, cap_s: int,
                   o_m: int, o_sm: int, o_w: int = -1,
                   threads: int = 0) -> None:

@@ -34,6 +34,7 @@ __all__ = [
     "ehh_decay_from_focal",
     "ehh_pair_death",
     "ehh_area_batch",
+    "ehh_area_dynamic",
     "EhhResult",
 ]
 
@@ -112,6 +113,127 @@ def ehh_pair_death(geno: jnp.ndarray, site_mask: jnp.ndarray) -> jnp.ndarray:
         fd = jnp.where(d_bits > 0, (kb - 1) - expo + b * kb, s)
         death = jnp.minimum(death, fd)
     return death
+
+
+def ehh_area_dynamic(
+    geno: jnp.ndarray,
+    member: jnp.ndarray,
+    site_mask: jnp.ndarray,
+    focal_idx: jnp.ndarray,
+    alleles=(0, 1),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Bidirectional EHH decay areas with a TRACED focal column index —
+    the fused-scan formulation (one compiled shape for every window even
+    though each window's focal site differs).
+
+    Semantics are ``ehh_area_batch(..., rank(focal), alleles)`` run on the
+    window with its masked columns DROPPED (asserted by tests/test_ehh.py):
+    ``geno`` is binarised 0/1, areas count ACTIVE site steps, carriers of
+    allele ``a`` are members whose binarised call at the (raw) focal
+    column is ``a``.  Counting only active steps makes the result
+    independent of the tile's padding capacity — required by the fused
+    scan, where the same window may be padded to different caps in
+    different batches.  ``focal_idx`` must point at an ACTIVE column
+    (the scan picks focals among real variant columns).
+
+    Instead of slicing at the focal site (impossible with a traced
+    index), the active columns are first COMPACTED to the left with one
+    exact 0/1 permutation matmul (P[j, rank_j] = active_j), then the
+    per-16-site-block bit-weighted XOR Grams run over the full compacted
+    axis with the focal split applied as elementwise masks:
+
+    - right: descending block weights; the f32 exponent field of the
+      block sum reads back the FIRST disagreeing rank > rank(focal)
+      (min over blocks); pair area = death − rank(focal) − 1.
+    - left: ascending block weights; the exponent reads back the LAST
+      disagreeing rank < rank(focal) (max over blocks) — which is the
+      first site of the REVERSED prefix; pair area = rank(focal) − 1 −
+      death.
+
+    Returns (area [A] f32, carriers [A] int32) for one window; vmap for
+    batches.
+    """
+    n, s = geno.shape
+    kb = 16
+    s_pad = ((s + kb - 1) // kb) * kb if s else kb
+    iota_s = jnp.arange(s_pad, dtype=jnp.int32)
+    fi_raw = jnp.asarray(focal_idx, jnp.int32)
+    act_row = jnp.pad(site_mask, (0, s_pad - s)).astype(jnp.float32)
+    # rank-compact the active columns (exact 0/1 matmul — no gathers)
+    rank = (jnp.cumsum(act_row) - act_row).astype(jnp.int32)     # [S]
+    n_act = jnp.sum(act_row).astype(jnp.int32)
+    perm = jnp.where(
+        (rank[:, None] == iota_s[None, :]) & (act_row[:, None] > 0),
+        1.0, 0.0)                                                # [S, S]
+    x_raw = jnp.where(site_mask, geno, 0).astype(jnp.float32)
+    x_raw = jnp.pad(x_raw, ((0, 0), (0, s_pad - s)))
+    xb = jnp.dot(x_raw, perm, preferred_element_type=jnp.float32)
+    fi = jnp.sum(act_row * (iota_s < fi_raw).astype(jnp.float32)
+                 ).astype(jnp.int32)                # focal in rank units
+    active = (iota_s < n_act).astype(jnp.float32)[None, :]
+
+    w_desc = jnp.asarray(
+        np.exp2(np.arange(kb - 1, -1, -1, dtype=np.float64)),
+        jnp.float32)[None, :]
+    w_asc = jnp.asarray(np.exp2(np.arange(kb, dtype=np.float64)),
+                        jnp.float32)[None, :]
+
+    def deaths(dir_mask, weights, pick_first):
+        """[N, N] absolute site index of the first (pick_first) or last
+        active disagreeing site under dir_mask; sentinel s (first) /
+        -1 (last)."""
+        x = xb * dir_mask
+        c = (1.0 - xb) * active * dir_mask
+        best = jnp.full((n, n), s if pick_first else -1, jnp.int32)
+        for b in range(s_pad // kb):
+            sl = slice(b * kb, (b + 1) * kb)
+            d_bits = (
+                jnp.dot(x[:, sl] * weights, c[:, sl].T,
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(c[:, sl] * weights, x[:, sl].T,
+                          preferred_element_type=jnp.float32)
+            )
+            expo = (jax.lax.bitcast_convert_type(d_bits, jnp.int32)
+                    >> 23) - 127
+            if pick_first:
+                cand = jnp.where(d_bits > 0, (kb - 1) - expo + b * kb, s)
+                best = jnp.minimum(best, cand)
+            else:
+                cand = jnp.where(d_bits > 0, expo + b * kb, -1)
+                best = jnp.maximum(best, cand)
+        return best
+
+    right_mask = (iota_s > fi).astype(jnp.float32)[None, :]
+    left_mask = (iota_s < fi).astype(jnp.float32)[None, :]
+    death_r = deaths(right_mask, w_desc, True)       # first disagree > fi
+    death_l = deaths(left_mask, w_asc, False)        # last disagree < fi
+
+    # per-pair step counts (clamped at 0 so fi at the window edge and the
+    # agree-all sentinels behave like ehh_area_batch's empty-suffix cases;
+    # the right sentinel clamps to the ACTIVE count, not the padded cap)
+    steps_r = jnp.maximum(
+        jnp.minimum(death_r, n_act).astype(jnp.float32) - fi - 1.0, 0.0)
+    steps_l = jnp.maximum(fi - 1.0 - death_l.astype(jnp.float32), 0.0)
+    steps = steps_r + steps_l
+
+    # carriers read the RAW focal column — ehh_area_batch applies no site
+    # mask to the carrier selection (only the decay Grams mask sites)
+    focal_oh = (jnp.arange(s, dtype=jnp.int32) == fi_raw
+                ).astype(jnp.float32)
+    call = jnp.dot(geno.astype(jnp.float32), focal_oh,
+                   preferred_element_type=jnp.float32)
+
+    areas, carr = [], []
+    upper = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+    for al in alleles:
+        carriers = member & (call == float(al))
+        pairs = upper & carriers[:, None] & carriers[None, :]
+        n_c = jnp.sum(carriers.astype(jnp.float32))
+        denom = jnp.maximum(n_c * (n_c - 1.0) * 0.5, 1.0)
+        rows = jnp.sum(jnp.where(pairs, steps, 0.0), axis=1)
+        areas.append(jnp.sum(rows) / denom)
+        carr.append(jnp.sum(carriers.astype(jnp.int32)))
+    return jnp.stack(areas), jnp.stack(carr)
 
 
 class EhhResult(NamedTuple):

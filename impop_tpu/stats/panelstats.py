@@ -284,6 +284,65 @@ def fused_panel_stats(
     )
 
 
+def _static_pairs(pair_a, pair_b):
+    """Concrete pair index tuples, or None if the pair arrays are traced
+    (the fully-fused kernel needs them at trace time for its static row
+    gathers; every production caller closes over concrete arrays)."""
+    import numpy as np
+    from jax.core import Tracer
+
+    if isinstance(pair_a, Tracer) or isinstance(pair_b, Tracer):
+        return None
+    return (tuple(int(i) for i in np.asarray(pair_a)),
+            tuple(int(i) for i in np.asarray(pair_b)))
+
+
+def _assemble_from_kernel(out, pq: int, q: int, pair_a_st, pair_b_st,
+                          pairs_disjoint: bool) -> PanelStats:
+    """fused_panel_stats' epilogue on ops/windowstat.py's raw row-dots —
+    identical formulas on [R]-sized vectors (asserted by
+    tests/test_windowstat.py against the composed path)."""
+    n = out["n"][:pq]
+    quad = out["quad"][:pq]
+    pairs_used = jnp.round(out["pairs_used2"] / 2.0).astype(jnp.int32)
+    num_groups = jnp.round(out["num_groups"][:pq]).astype(jnp.int32)
+    pairs_total = (num_groups * (num_groups - 1)) // 2
+    pi = jnp.where(
+        (n > 1) & (pairs_used > 0), n / jnp.maximum(n - 1.0, 1.0) * quad,
+        0.0)
+
+    sum_aa, cnt_aa = out["sum_aa"] * 0.5, out["cnt_aa"] * 0.5
+    sum_bb, cnt_bb = out["sum_bb"] * 0.5, out["cnt_bb"] * 0.5
+    sum_ab, cnt_ab = out["sum_ab"], out["cnt_ab"]
+    pi_a = jnp.where(cnt_aa > 0, sum_aa / jnp.maximum(cnt_aa, 1.0), 0.0)
+    pi_b = jnp.where(cnt_bb > 0, sum_bb / jnp.maximum(cnt_bb, 1.0), 0.0)
+    dxy = jnp.where(cnt_ab > 0, sum_ab / jnp.maximum(cnt_ab, 1.0), 0.0)
+
+    # grouped-Hudson within forms are quad rows (the reduction is linear
+    # in the weight rows — ops/windowstat.py stage-5 note): panel rows
+    # when pairs are disjoint, stripped-side rows otherwise
+    if pairs_disjoint:
+        ia = jnp.asarray(pair_a_st)
+        ib = jnp.asarray(pair_b_st)
+    else:
+        ia = jnp.arange(pq, pq + q)
+        ib = jnp.arange(pq + q, pq + 2 * q)
+    n_a = out["n"][ia]
+    n_b = out["n"][ib]
+    bessel_a = jnp.where(n_a > 1, n_a / jnp.maximum(n_a - 1.0, 1.0), 0.0)
+    bessel_b = jnp.where(n_b > 1, n_b / jnp.maximum(n_b - 1.0, 1.0), 0.0)
+    gpi_a = out["quad"][ia] * bessel_a
+    gpi_b = out["quad"][ib] * bessel_b
+    gdxy = out["gdxy"]
+
+    return PanelStats(
+        pi, n, num_groups, pairs_used, pairs_total - pairs_used,
+        _assemble(pi_a, pi_b, dxy),
+        _assemble(gpi_a, gpi_b, gdxy),
+        out["seed_risk"] > 0.5,
+    )
+
+
 def fused_window_stats(
     geno: jnp.ndarray,
     member: jnp.ndarray,
@@ -294,15 +353,24 @@ def fused_window_stats(
     pair_b: jnp.ndarray,
     threshold,
     pairs_disjoint: bool = False,
+    return_matrices: bool = True,
 ) -> tuple:
     """One window, allele tile in, every panel statistic out.
 
     On TPU (biallelic tiles, unit weights, lane-aligned caps, short
-    windows) the identity matrix, the shared grouping pass, the group ids
-    AND S run as ONE Mosaic program with the [N, N] working set resident
-    in VMEM (ops/idgroup.py) — measured 9.9 vs 21.7 us/window for the
-    composed stages at the headline shape (r4, tools/bench_panelstep.py);
-    everywhere else it composes identity_from_alleles +
+    windows) the fused Mosaic paths engage:
+
+    - ``return_matrices=False`` (the scan/bench hot path): the ENTIRE
+      per-window program — identity, shared grouping, group-size weights,
+      the stacked HIGHEST-precision panel reduction, Hudson row-dots,
+      S and seed_risk — runs as ONE kernel with nothing of shape [N, N]
+      ever crossing HBM (ops/windowstat.py).  Returns (None, None, s,
+      PanelStats).
+    - ``return_matrices=True``: identity + grouping + gid + S as one
+      kernel (ops/idgroup.py, measured 9.9 vs 21.7 us/window composed,
+      r4), the tail in XLA; sim/present are returned.
+
+    Everywhere else it composes identity_from_alleles +
     greedy_group_panels + segregating_sites with identical semantics
     (asserted on-chip: sim/present/gid/S all bit-identical).
 
@@ -318,6 +386,22 @@ def fused_window_stats(
         and s_cap % 128 == 0
         and s_cap <= 2048   # the operand column stays VMEM-resident
     )
+    q_count = int(pair_a.shape[0])
+    if use_fused and not return_matrices and q_count >= 1:
+        st = _static_pairs(pair_a, pair_b)
+        if st is not None:
+            from impop_tpu.ops.windowstat import window_stats_pallas
+
+            all_masks, mask_a, mask_b = panel_mask_stack(
+                pmasks, member, pair_a, pair_b, pairs_disjoint)
+            pq = pmasks.shape[0] + q_count
+            out = window_stats_pallas(
+                geno, member, site_mask, all_masks, mask_a, mask_b,
+                threshold, length, st[0], st[1], pairs_disjoint,
+                block=256 if n_cap % 256 == 0 else 128)
+            res = _assemble_from_kernel(out, pq, q_count, st[0], st[1],
+                                        pairs_disjoint)
+            return None, None, out["s"], res
     if use_fused:
         from impop_tpu.ops.idgroup import identity_group_pallas
 

@@ -461,3 +461,61 @@ def test_cli_scan_exact_fstg_on_partial_coverage(tmp_path, rng):
     np.testing.assert_allclose(fstg, want["fst"], rtol=1e-6)
     # and the deviation was real: the seed-representative value is not it
     assert want["fst"] == 1.0
+
+
+def test_cli_scan_ehh_matches_oracle(tmp_path, rng, monkeypatch):
+    """`scan --ehh` appends per-window bidirectional EHH areas/carriers
+    that must equal the ehh_area_batch oracle (the `ehh` CLI engine) run
+    on the same extracted tiles with the same focal rule — and must be
+    identical through the native wire-pack and numpy build paths."""
+    import jax.numpy as jnp
+
+    from impop_tpu.extract import NativeExtractor
+    from impop_tpu.extract.simulate import simulate
+    from impop_tpu.stats.ehh import ehh_area_batch
+
+    sim = simulate(str(tmp_path), ref_len=6000, n_haps=10, seed=7,
+                   site_pool=60, span=(0, 6000))
+    bed = tmp_path / "w.bed"
+    wins = [(0, 2000), (2000, 4000), (4000, 6000)]
+    bed.write_text("".join(f"chr1\t{a}\t{b}\n" for a, b in wins))
+    (tmp_path / "agc.P1").write_text("HG00900\nHG00901\nHG00902\n")
+    (tmp_path / "agc.P2").write_text("HG00903\nHG00904\n")
+    args = ["-b", str(bed), "--paf", sim.paf_path,
+            "--fasta", sim.fasta_path, "-P", "CHM13#0#",
+            "--panel", str(tmp_path / "agc.P1"),
+            "--panel", str(tmp_path / "agc.P2"), "--ehh"]
+    out = tmp_path / "ehh_scan.tsv"
+    main(["scan", *args, "-o", str(out)])
+    lines = [l.split("\t") for l in out.read_text().splitlines() if l]
+    hdr = lines[0]
+    assert hdr[-5:] == ["EHH_FOCAL", "EHH_AREA_REF", "EHH_CARR_REF",
+                        "EHH_AREA_ALT", "EHH_CARR_ALT"]
+
+    # oracle: per window, same focal rule (variant nearest the midpoint),
+    # binarised tile, static-focal batch engine
+    with NativeExtractor(sim.paf_path, sim.fasta_path) as nat:
+        for row, (a, b) in zip(lines[1:], wins):
+            wm = nat.extract("CHM13#0#chr1", a, b)
+            pos = np.asarray(wm.site_pos)
+            if len(pos) == 0:
+                assert row[-5] == "NA"
+                continue
+            fi = int(np.argmin(np.abs(pos - (a + b) // 2)))
+            assert row[-5] == str(int(pos[fi]))
+            xb = (np.asarray(wm.geno) == 1).astype(np.int8)[None]
+            member = np.ones((1, xb.shape[1]), bool)
+            smask = np.ones((1, xb.shape[2]), bool)
+            area, carr = ehh_area_batch(
+                jnp.asarray(xb), jnp.asarray(member), jnp.asarray(smask),
+                fi, jnp.asarray([0, 1], jnp.int32))
+            np.testing.assert_allclose(
+                [float(row[-4]), float(row[-2])],
+                np.asarray(area)[0], rtol=1e-5, atol=1e-5)
+            assert [int(row[-3]), int(row[-1])] == list(np.asarray(carr)[0])
+
+    # numpy build path must emit identical rows
+    out2 = tmp_path / "ehh_scan_slow.tsv"
+    monkeypatch.delattr(NativeExtractor, "extract_batch_open")
+    main(["scan", *args, "-o", str(out2)])
+    assert out2.read_text() == out.read_text()

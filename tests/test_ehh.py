@@ -220,3 +220,76 @@ def test_pair_death_area_matches_scan_formulation(rng):
         d = np.nonzero(g2[i] != g2[j])[0]
         expect = int(d[0]) if d.size else s
         assert death[i, j] == expect, (i, j, death[i, j], expect)
+
+
+def test_ehh_area_dynamic_matches_static_batch(rng):
+    """ehh_area_dynamic (traced focal index — the fused-scan formulation)
+    must reproduce ehh_area_batch run on the COMPACTED window (masked
+    columns dropped, focal re-indexed to its active rank): areas count
+    active site steps only, so they are independent of the tile's padding
+    capacity — the fused-scan requirement."""
+    import jax
+    import jax.numpy as jnp
+
+    from impop_tpu.stats.ehh import ehh_area_batch, ehh_area_dynamic
+
+    n, s, w = 64, 50, 6   # s deliberately not a 16-multiple
+    geno = (rng.random((w, n, s)) < 0.4).astype(np.int8)
+    member = rng.random((w, n)) < 0.85
+    smask = rng.random((w, s)) < 0.9
+    smask[:, s // 2] = True   # shared active focal for the batched call
+    alleles = jnp.asarray([0, 1], jnp.int32)
+
+    dyn = jax.jit(jax.vmap(
+        lambda g, m, sm, f: ehh_area_dynamic(g, m, sm, f, alleles=(0, 1))))
+
+    def oracle(wi, focal):
+        """static-batch engine on the compacted (mask-dropped) window"""
+        act = smask[wi]
+        gc = geno[wi][:, act][None]
+        fc = int(act[:focal].sum())
+        a, c = ehh_area_batch(
+            jnp.asarray(gc), jnp.asarray(member[wi:wi + 1]),
+            jnp.ones((1, gc.shape[2]), bool), fc, alleles)
+        return np.asarray(a)[0], np.asarray(c)[0]
+
+    # shared focal across the batch, one compiled dynamic call
+    focal = s // 2
+    fis = jnp.full((w,), focal, jnp.int32)
+    a_dy, c_dy = dyn(jnp.asarray(geno), jnp.asarray(member),
+                     jnp.asarray(smask), fis)
+    for wi in range(w):
+        a_st, c_st = oracle(wi, focal)
+        # carriers read the RAW focal column in both engines
+        np.testing.assert_array_equal(c_st, np.asarray(c_dy)[wi])
+        np.testing.assert_allclose(a_st, np.asarray(a_dy)[wi],
+                                   rtol=1e-6, atol=1e-6, err_msg=f"wi={wi}")
+
+    # mixed per-window ACTIVE focals (incl. edges) in ONE compiled call
+    fis = []
+    for wi in range(w):
+        act_idx = np.nonzero(smask[wi])[0]
+        pick = [act_idx[0], act_idx[-1],
+                act_idx[len(act_idx) // 2]][wi % 3]
+        fis.append(int(pick))
+    fis_j = jnp.asarray(fis, jnp.int32)
+    a_dy, c_dy = dyn(jnp.asarray(geno), jnp.asarray(member),
+                     jnp.asarray(smask), fis_j)
+    for wi in range(w):
+        a_st, c_st = oracle(wi, fis[wi])
+        np.testing.assert_array_equal(c_st, np.asarray(c_dy)[wi])
+        np.testing.assert_allclose(a_st, np.asarray(a_dy)[wi],
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"wi={wi} focal={fis[wi]}")
+
+    # padding-independence: widening the tile must not change the areas
+    pad = 30
+    g2 = np.concatenate([geno, np.zeros((w, n, pad), np.int8)], axis=2)
+    sm2 = np.concatenate([smask, np.zeros((w, pad), bool)], axis=1)
+    dyn2 = jax.jit(jax.vmap(
+        lambda g, m, sm, f: ehh_area_dynamic(g, m, sm, f, alleles=(0, 1))))
+    a2, c2 = dyn2(jnp.asarray(g2), jnp.asarray(member), jnp.asarray(sm2),
+                  fis_j)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a_dy),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c_dy))

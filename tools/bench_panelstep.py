@@ -109,6 +109,33 @@ def main() -> None:
 
     step_full = B.device_pipeline()
 
+    if "--idgroup-stages" in sys.argv:
+        # Internal budget of the fused idgroup kernel via its `stages`
+        # bisection knob (ops/idgroup.py): 1 = identity+S, 2 = +seed peel,
+        # 3 = +gid argmin.  Stage deltas attribute the kernel's own
+        # per-window µs; the kernel's outputs are fetched through the same
+        # barrier protocol.
+        from impop_tpu.ops.idgroup import identity_group_pallas
+        from impop_tpu.stats.panelstats import panel_mask_stack
+
+        def make_stage(stg):
+            def f(g, m, sm, p1, ln):
+                am, _, _ = panel_mask_stack(p1, m, pair_a, pair_b, True)
+                sim, pres, gid, s = identity_group_pallas(
+                    g, m, sm, am, t, ln, stages=stg)
+                return jnp.sum(sim) + jnp.sum(gid) + s
+            return f
+
+        us_by_stage = {}
+        for stg, tag in ((1, "idgroup stages=1 (ident+S)"),
+                         (2, "idgroup stages=2 (+peel)"),
+                         (3, "idgroup stages=3 (+gid)")):
+            us_by_stage[stg] = timeit(tag, make_stage(stg))
+        print(f"\nstage deltas: peel={us_by_stage[2] - us_by_stage[1]:.2f} "
+              f"gid={us_by_stage[3] - us_by_stage[2]:.2f} us/window",
+              flush=True)
+        return
+
     us_i = timeit("identity+S (composed)", f_ident)
     us_sp = timeit("identity+S+seedpeel", f_seedpeel)
     us_g = timeit("identity+S+grouping", f_group)
