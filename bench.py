@@ -46,11 +46,11 @@ N_HAP = 466          # HPRC r2 assemblies + CHM13 (doc/where_hprc_data.md)
 CAP_N = 512
 CAP_S = 128          # segregating-site capacity per 5 kb window
 WIN_BP = 5000.0
-W_BATCH = int(os.environ.get("IMPOP_BENCH_BATCH", 960))
-                     # 24 200kb units per device step.  The saturation point
-                     # moved with the fused idgroup kernel (per-window time
-                     # halved, so dispatch overhead amortises later): r4
-                     # measured 320/640/960 -> 1986/2329/2453 units/s
+W_BATCH = int(os.environ.get("IMPOP_BENCH_BATCH", 2240))
+                     # 56 200kb units per device step.  The saturation point
+                     # keeps moving as the per-window step shrinks (r4:
+                     # 320/640/960 -> 1986/2329/2453; r5 whole-window
+                     # kernel: 960/1600/2240 -> 2873/3063/3167 units/s)
 ITERS = int(os.environ.get("IMPOP_BENCH_ITERS", 32))
 E2E_BATCH = int(os.environ.get("IMPOP_BENCH_E2E_BATCH", 320))
                      # the e2e scan keeps smaller batches: its two-stage

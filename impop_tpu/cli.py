@@ -1359,7 +1359,8 @@ def cmd_scan(args) -> int:
     _setup_stage = timers.stage("setup")
     _setup_stage.__enter__()
 
-    regions = read_bed(args.bed)
+    with timers.stage("setup.bed"):
+        regions = read_bed(args.bed)
     if proc_count > 1:
         lo, hi = host_window_range(len(regions), proc_idx, proc_count)
         regions = regions[lo:hi]
@@ -1369,21 +1370,24 @@ def cmd_scan(args) -> int:
     geno_src = (GenoSource(args.geno_dir) if args.geno_dir
                 else GfaDirSource(args.gfa_dir) if getattr(args, "gfa_dir", None)
                 else None)
-    fasta_store = _resolve_fasta(args)
-    extractor = (_open_extractor(args.paf, fasta_store)
-                 if args.paf and fasta_store else None)
+    with timers.stage("setup.open"):
+        fasta_store = _resolve_fasta(args)
+        extractor = (_open_extractor(args.paf, fasta_store)
+                     if args.paf and fasta_store else None)
     if geno_src is None and extractor is None:
         raise SystemExit("error: provide --geno-dir, --gfa-dir, "
                          "--paf + --fasta, or --paf + --agc")
 
-    panel_files = sorted(args.panel or [])
-    panel_names = [_panel_label(p) for p in panel_files]
-    panel_lists = [read_panel_file(p) for p in panel_files]
+    with timers.stage("setup.panels"):
+        panel_files = sorted(args.panel or [])
+        panel_names = [_panel_label(p) for p in panel_files]
+        panel_lists = [read_panel_file(p) for p in panel_files]
     p_count = max(1, len(panel_lists))
     pair_list = [(i, j) for i in range(len(panel_lists))
                  for j in range(i + 1, len(panel_lists))]
 
-    journal = ResultJournal(args.journal)
+    with timers.stage("setup.journal"):
+        journal = ResultJournal(args.journal)
 
     # window row names are identical across a contiguous scan — memoise the
     # panel prefix matching (it was re-run per window per panel)
@@ -1649,12 +1653,13 @@ def cmd_scan(args) -> int:
                                        want_ehh)
                 flat = np.zeros((w, lay["total"]), np.uint8)
                 row_of = {key: wi for wi, key in enumerate(rows)}
-                for gi, nb in enumerate(batches):
-                    nb.pack_into(
-                        flat, [row_of.get((gi, k), -1)
-                               for k in range(nb.count)],
-                        cap_n, cap_s, lay["m"], lay["sm"],
-                        lay["w"] if use_weights else -1)
+                with timers.stage("build.pack"):
+                    for gi, nb in enumerate(batches):
+                        nb.pack_into(
+                            flat, [row_of.get((gi, k), -1)
+                                   for k in range(nb.count)],
+                            cap_n, cap_s, lay["m"], lay["sm"],
+                            lay["w"] if use_weights else -1)
                 panels = np.zeros((w, p_count, cap_n), bool)
                 lengths = np.zeros(w, np.uint32)
                 focals = np.zeros(w, np.uint32) if want_ehh else None

@@ -63,7 +63,8 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _make_kernel(n_cap: int, block: int, r_count: int, pq: int, q: int,
-                 pair_a: tuple, pair_b: tuple, disjoint: bool, stages: int):
+                 pair_a: tuple, pair_b: tuple, disjoint: bool, stages: int,
+                 yd_precision=_HI, peel_unroll: int = 2):
     """stages: 1 identity+S · 2 +seed peel · 3 +gid · 4 +group weights ·
     5 full reduction (production) — compile/correctness bisection aid."""
     n_chunks = n_cap // block
@@ -163,7 +164,12 @@ def _make_kernel(n_cap: int, block: int, r_count: int, pq: int, q: int,
                 return jnp.max(pm_c * (1.0 - decided_f)) > 0.5
 
             def peel_body(state):
-                return peel_round(peel_round(state))
+                # peel_unroll rounds per while iteration: more rounds =
+                # fewer (serialising) cond checks, at the cost of no-op
+                # rounds after convergence (A/B'd on-chip)
+                for _ in range(peel_unroll):
+                    state = peel_round(state)
+                return state
 
             _, seed_c = jax.lax.while_loop(
                 peel_cond, peel_body, (1.0 - pm_c, jnp.zeros_like(pm_c)))
@@ -253,9 +259,31 @@ def _make_kernel(n_cap: int, block: int, r_count: int, pq: int, q: int,
 
         maskf = presf * jnp.where(row_ids == col_ids, 0.0, 1.0)
         div = (1.0 - sim) * maskf
-        yd = jax.lax.dot_general(
-            wd, div, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
+        if yd_precision == "split3":
+            # manual bf16x2 split, 3 single-pass dots: each operand is
+            # hi (= bf16 round, exact under the MXU's single-pass
+            # product) + lo (residual, itself bf16-rounded inside the
+            # dot, ~2^-25 relative); the dropped lo·lo term is ~2^-32.
+            # Mosaic lowers only DEFAULT/HIGHEST, so the 3-pass middle
+            # ground (Precision.HIGH raises NotImplementedError) has to
+            # be spelled out.  ~1e-7 relative vs the f64 oracle —
+            # measured on-chip by tools/check_device_oracle.py.
+            wd_hi = wd.astype(jnp.bfloat16).astype(jnp.float32)
+            wd_lo = wd - wd_hi
+            dv_hi = div.astype(jnp.bfloat16).astype(jnp.float32)
+            dv_lo = div - dv_hi
+
+            def _dd(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            yd = _dd(wd_hi, dv_hi) + _dd(wd_hi, dv_lo) + _dd(wd_lo, dv_hi)
+        else:
+            yd = jax.lax.dot_general(
+                wd, div, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=yd_precision)
         # yp operands are all 0/1 indicators — the MXU default single-pass
         # bf16 product is exact for them (idgroup.py precision note)
         yp = jax.lax.dot_general(
@@ -305,12 +333,13 @@ def _make_kernel(n_cap: int, block: int, r_count: int, pq: int, q: int,
 @functools.partial(
     jax.jit,
     static_argnames=("pair_a", "pair_b", "pairs_disjoint", "block",
-                     "stages"))
+                     "stages", "yd_precision", "peel_unroll"))
 def window_stats_pallas(geno, member, site_mask, pmasks_stack, mask_a,
                         mask_b, threshold, length,
                         pair_a: tuple, pair_b: tuple,
                         pairs_disjoint: bool, block: int = 256,
-                        stages: int = 5):
+                        stages: int = 5, yd_precision=_HI,
+                        peel_unroll: int = 2):
     """One biallelic window in, every panel/pair statistic out — one kernel.
 
     Args:
@@ -362,7 +391,8 @@ def window_stats_pallas(geno, member, site_mask, pmasks_stack, mask_a,
 
     outs = pl.pallas_call(
         _make_kernel(n_cap, block, r_count, pq, q, tuple(pair_a),
-                     tuple(pair_b), pairs_disjoint, stages),
+                     tuple(pair_b), pairs_disjoint, stages, yd_precision,
+                     peel_unroll),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((n_cap, s_cap), lambda c: (0, 0),

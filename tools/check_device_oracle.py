@@ -32,12 +32,16 @@ pair_a = jnp.asarray(pair_a_l, jnp.int32); pair_b = jnp.asarray(pair_b_l, jnp.in
 t = 0.999
 panel_names = list(B.PANEL_SIZES)
 
+RETURN_MATRICES = os.environ.get("IMPOP_ORACLE_OLD_PATH") == "1"
+
 @jax.jit
 def step(g, m, sm, p1, ln):
     def one(g1, m1, sm1, ps, l1):
+        # return_matrices=False exercises the production scan path — the
+        # single whole-window Mosaic kernel (ops/windowstat.py)
         _sim, _pres, s_countf, res = fused_window_stats(
             g1, m1, sm1, l1, ps, pair_a, pair_b, jnp.float32(t),
-            pairs_disjoint=True)
+            pairs_disjoint=True, return_matrices=RETURN_MATRICES)
         return res.pi, res.hudson.fst, res.hudson_grouped.fst, s_countf
     return jax.vmap(one)(g, m, sm, p1, ln)
 
