@@ -184,6 +184,12 @@ class PafIndex {
  private:
   // mmap + parallel byte-range parse for plain files; false -> gz path
   bool try_mmap_parse(const std::string& path);
+  // persistent binary index sidecar (<paf>.impopidx) — the impg `.impg`
+  // index capability: load skips tokenizing/CIGAR-parsing the text PAF
+  // entirely (validated against source size+mtime; IMPOP_PAF_INDEX=0
+  // disables both load and save)
+  bool try_load_cache(const std::string& path);
+  void save_cache(const std::string& path) const;
   void build_target_index();
 
   std::vector<PafRecord> records_;

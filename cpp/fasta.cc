@@ -289,7 +289,18 @@ int64_t FastaReader::read_raw(int64_t off, int64_t len, char* out) const {
 
 void FastaReader::build_or_load_index() {
   const std::string fai = path_ + ".fai";
-  if (file_exists(fai)) {
+  // samtools-faidx staleness rule: an index older than its FASTA is
+  // rebuilt, not trusted (a regenerated-in-place FASTA with a leftover
+  // .fai silently mis-offsets every read — caught by
+  // tests/test_extract.py's cache-invalidation differential).
+  struct stat src_st, fai_st;
+  const bool fresh =
+      ::stat(path_.c_str(), &src_st) == 0 &&
+      ::stat(fai.c_str(), &fai_st) == 0 &&
+      (fai_st.st_mtim.tv_sec > src_st.st_mtim.tv_sec ||
+       (fai_st.st_mtim.tv_sec == src_st.st_mtim.tv_sec &&
+        fai_st.st_mtim.tv_nsec >= src_st.st_mtim.tv_nsec));
+  if (file_exists(fai) && fresh) {
     std::ifstream in(fai);
     std::string line;
     while (std::getline(in, line)) {

@@ -147,17 +147,22 @@ def identity_from_alleles(
     "Identity definition and impg parity").
     """
     n_cap, s_cap = geno.shape
-    # An int8-MXU formulation exists (ops/pairdiff.pairwise_identity_xla_i8
-    # and the Pallas _kernel_i8: two int8 Gram matmuls on z in {-1,0,1} /
-    # v in {0,1}, exact integer math at double MXU rate) but is DISABLED:
-    # on this backend every program containing an int8 dot — Pallas or
-    # plain XLA — wedges the remote compile service indefinitely (four
-    # independent hangs >10 min; f32 variants of the same programs compile
-    # in minutes).  Opt in with IMPOP_TPU_I8_IDENTITY=1 on backends whose
-    # compiler handles int8 matmuls.
+    # int8-MXU formulations (z in {-1,0,1} / v in {0,1} Grams, exact
+    # integer math): the PALLAS int8 kernel still wedges this backend's
+    # remote Mosaic compile (r3/r4, >10-min hangs) and stays opt-in via
+    # the gate inside ops/pairdiff; XLA's OWN int8 dot path compiles and
+    # runs fine (r4 CLAUDE note, re-verified r5) and A/B-WINS the
+    # long-window regime: 23.5-24.0 vs 21.3-22.4 Tcells/s against the
+    # triangular resident Pallas kernel at [512, 8192] x 64, 4/4
+    # interleaved reps (a block-triangular i8 XLA variant measured
+    # 15.7-18.8 — the [N, N] block assembly swamps the skipped work).
+    # IMPOP_TPU_I8_IDENTITY=0 opts out (backends whose compiler chokes
+    # on int8 dots); =1 additionally forces it for short windows.
+    i8_env = os.environ.get("IMPOP_TPU_I8_IDENTITY")
     if num_alleles == 2 and site_weights is None \
             and jax.default_backend() not in ("cpu",) \
-            and os.environ.get("IMPOP_TPU_I8_IDENTITY") == "1":
+            and (i8_env == "1"
+                 or (i8_env != "0" and s_cap >= 2048)):
         from impop_tpu.ops.pairdiff import pairwise_identity_xla_i8
 
         return pairwise_identity_xla_i8(geno, member, site_mask, length)

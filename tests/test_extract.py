@@ -339,3 +339,58 @@ def test_extract_split_equals_per_window(tmp_path):
         # haplotype doesn't overlap the subwindow; with full spans they match)
         assert list(a["site_keys"]) == list(b["site_keys"]), name
         np.testing.assert_array_equal(a["geno"], b["geno"])
+
+
+def test_paf_index_cache_roundtrip_and_invalidation(tmp_path):
+    """The persistent PAF index sidecar (<paf>.impopidx) must reproduce
+    the parsed index exactly on reopen, and must be ignored when the
+    source PAF changes (size/mtime validation)."""
+    import os
+    import time
+
+    from impop_tpu.extract import NativeExtractor
+    from impop_tpu.extract.simulate import simulate
+
+    sim = simulate(str(tmp_path), ref_len=8000, n_haps=8, seed=9,
+                   site_pool=60, span=(0, 8000))
+    with NativeExtractor(sim.paf_path, sim.fasta_path) as nat:
+        base = nat.extract("CHM13#0#chr1", 1000, 5000)
+    idx = sim.paf_path + ".impopidx"
+    assert os.path.exists(idx), "index sidecar not written"
+
+    # reopen: loads the sidecar; results must be identical
+    with NativeExtractor(sim.paf_path, sim.fasta_path) as nat:
+        again = nat.extract("CHM13#0#chr1", 1000, 5000)
+    assert again.names == base.names
+    assert again.site_keys == base.site_keys
+    assert np.array_equal(again.geno, base.geno)
+
+    # stale sidecar: regenerate the pangenome in place (different seed ->
+    # different CIGARs); the old index must be rejected, not trusted
+    time.sleep(0.01)
+    sim2 = simulate(str(tmp_path), ref_len=8000, n_haps=8, seed=10,
+                    site_pool=60, span=(0, 8000))
+    with NativeExtractor(sim2.paf_path, sim2.fasta_path) as nat:
+        fresh = nat.extract("CHM13#0#chr1", 1000, 5000)
+    from impop_tpu.extract.pyfallback import PyExtractor
+
+    py = PyExtractor(sim2.paf_path, sim2.fasta_path)
+    want = py.extract("CHM13#0#chr1", 1000, 5000)
+    assert fresh.names == want.names
+    assert fresh.site_keys == want.site_keys
+    assert np.array_equal(fresh.geno, want.geno)
+
+    # IMPOP_PAF_INDEX=0 disables the cache entirely
+    os.remove(idx)
+    env = dict(os.environ, IMPOP_PAF_INDEX="0")
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from impop_tpu.extract import NativeExtractor\n"
+        "with NativeExtractor(%r, %r) as nat:\n"
+        "    nat.extract('CHM13#0#chr1', 1000, 5000)\n"
+    ) % ("/root/repo", sim2.paf_path, sim2.fasta_path)
+    subprocess.run([sys.executable, "-c", code], env=env, check=True)
+    assert not os.path.exists(idx)

@@ -102,6 +102,14 @@ def main() -> int:
         finally:
             batch.close()
 
+    # 5) reopen: the persistent PAF index sidecar's LOAD path (binary
+    # parse + parallel checkpoint rebuild) under the sanitizer too
+    with NativeExtractor(sim.paf_path, sim.fasta_path) as nat2:
+        for start, end in wins[:3]:
+            a = nat2.extract("chr1", start, end)
+            b = py.extract("chr1", start, end)
+            assert np.array_equal(a.geno, b.geno), (start, end)
+
     # split_window_matrix consistency keeps the host-side range splitter in
     # the smoke too (pure numpy)
     whole = py.extract("chr1", 0, 8000)
