@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: bidirectional EHH decay areas, VMEM-resident.
+
+The XLA formulation of the dynamic-focal death-site computation
+(stats/ehh.ehh_area_dynamic) carries [N, N] per-16-site-block min/max
+intermediates through HBM — vmapped over a scan batch that is ~64 MB of
+traffic per window, measured 198 µs/window on v5e (bench ehh_fused,
+5 051 win/s).  This kernel keeps the [N, N] death/steps working set in
+VMEM across the block loop (the ops/idgroup.py design): per window the
+only HBM traffic is the compacted [N, S] haplotype block in and four
+scalars out.
+
+Semantics are identical to the XLA path (asserted in interpret mode and
+on-chip by tests/test_ehh.py): per 16-site block, bit-weighted XOR Grams
+whose f32 exponent fields read back the first (right, descending
+weights) / last (left, ascending weights) disagreeing compacted site;
+steps clamp to the active count; pair sums run over upper-triangular
+carrier pairs for each allele.
+
+Mosaic rules honoured (doc/architecture.md): 2-D everything, keepdims,
+no transposes (column-orientation vectors via exact identity dots), f32
+compares, power-of-two weights built from exponent bit patterns.
+
+Reference capability: wip/ehhgfa.py:47-69 (EHH decay area under the
+curve), batched into the fused scan (`scan --ehh`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ehh_area_pallas"]
+
+_KB = 16
+
+
+def _make_kernel(n_cap: int, s_cap: int, a_count: int):
+    n_blocks = s_cap // _KB
+
+    def kernel(x_ref, carr_ref, fi_ref, na_ref, sum_ref, steps_acc):
+        x_all = x_ref[:]                                    # [N, S] f32
+        fi = fi_ref[0, 0]                                   # f32 rank
+        n_act = na_ref[0, 0]
+        iota_s = jax.lax.broadcasted_iota(
+            jnp.int32, (1, s_cap), 1).astype(jnp.float32)
+        # Up to 7 blocks share ONE stacked dot: each block's 16 bit
+        # weights land in their own 17-BINADE slot (weight 2^(17·slot +
+        # bit)), so the group's whole XOR sum is a single [N, 2·16·G]
+        # contraction whose f32 EXPONENT decodes (block, bit) at once.
+        # Dominance: lower-slot junk sums to < 2^-1 of the top block's
+        # minimum contribution at 17-bit spacing, and the binade cannot
+        # be crossed even by f32 round-to-nearest (distance ≥ 2^(17s-1) ≫
+        # half-ulp).  The per-block formulation (one dot per block +
+        # select/min) measured 21-24 µs/window at [512, 128]: K = 32
+        # contractions starve the MXU; this is 2 dots per direction at
+        # K = 224/32.  Slots cap at 7 (2^(17·6+16) = 2^118 < f32 max).
+        _G = 7
+        kvec16 = jax.lax.broadcasted_iota(jnp.int32, (1, _KB), 1)
+
+        def deaths(dir_mask, pick_first):
+            x = x_all * dir_mask
+            c = (1.0 - x_all) * dir_mask
+            best = jnp.full((n_cap, n_cap),
+                            float(s_cap if pick_first else -1), jnp.float32)
+            for g0 in range(0, n_blocks, _G):
+                gsz = min(_G, n_blocks - g0)
+                ab_parts, bb_parts = [], []
+                for g in range(gsz):
+                    lo = (g0 + g) * _KB
+                    xb = x[:, lo:lo + _KB]
+                    cb = c[:, lo:lo + _KB]
+                    # within-block exponent: descending (first bit wins)
+                    # for the right scan, ascending (last wins) left
+                    slot = (gsz - 1 - g) if pick_first else g
+                    bitexp = ((_KB - 1) - kvec16) if pick_first else kvec16
+                    wfull = jax.lax.bitcast_convert_type(
+                        (127 + 17 * slot + bitexp) << 23, jnp.float32)
+                    ab_parts += [xb * wfull, cb * wfull]
+                    bb_parts += [cb, xb]
+                d_sum = jax.lax.dot_general(
+                    jnp.concatenate(ab_parts, axis=1),
+                    jnp.concatenate(bb_parts, axis=1),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                expo = (jax.lax.bitcast_convert_type(d_sum, jnp.int32)
+                        >> 23) - 127
+                # slot = expo // 17 via multiply-shift (expo < 128)
+                slot_dec = jax.lax.shift_right_logical(expo * 3856, 16)
+                e_bit = (expo - slot_dec * 17).astype(jnp.float32)
+                if pick_first:
+                    b_loc = (gsz - 1) - slot_dec
+                    pos = ((g0 + b_loc).astype(jnp.float32) * _KB
+                           + (_KB - 1) - e_bit)
+                    cand = jnp.where(d_sum > 0, pos, float(s_cap))
+                    best = jnp.minimum(best, cand)
+                else:
+                    pos = ((g0 + slot_dec).astype(jnp.float32) * _KB
+                           + e_bit)
+                    cand = jnp.where(d_sum > 0, pos, -1.0)
+                    best = jnp.maximum(best, cand)
+            return best
+
+        right_mask = jnp.where((iota_s > fi) & (iota_s < n_act), 1.0, 0.0)
+        left_mask = jnp.where(iota_s < fi, 1.0, 0.0)
+        death_r = deaths(right_mask, True)
+        death_l = deaths(left_mask, False)
+        steps = (jnp.maximum(jnp.minimum(death_r, n_act) - fi - 1.0, 0.0)
+                 + jnp.maximum(fi - 1.0 - death_l, 0.0))
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_cap, n_cap), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (n_cap, n_cap), 1)
+        upper = jnp.where(row_ids < col_ids, 1.0, 0.0)
+        eye_f = jnp.where(row_ids == col_ids, 1.0, 0.0)
+        steps_acc[:] = steps * upper
+        for a in range(a_count):
+            ca_row = carr_ref[a:a + 1, :]                   # [1, N]
+            ca_col = jax.lax.dot_general(
+                eye_f, ca_row, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [N, 1]
+            rows = jnp.sum(steps_acc[:] * ca_row, axis=1,
+                           keepdims=True)                   # [N, 1]
+            sum_ref[0, a] = jnp.sum(rows * ca_col)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("a_count",))
+def ehh_area_pallas(xc, carriers, fi_rank, n_act, a_count: int = 2):
+    """Per-allele Σ_pairs step counts over carrier pairs — one window.
+
+    Args:
+      xc:       [N, S] f32 rank-COMPACTED binarised haplotypes
+                (N % 128 == 0, S % 128 == 0)
+      carriers: [A, N] f32 carrier masks per allele
+      fi_rank:  scalar f32 focal index in rank units
+      n_act:    scalar f32 active-site count
+    Returns [A] f32 raw step sums (divide by C(n_c, 2) outside).
+    """
+    n_cap, s_cap = xc.shape
+    assert n_cap % 128 == 0 and s_cap % _KB == 0
+    fi = jnp.asarray(fi_rank, jnp.float32).reshape(1, 1)
+    na = jnp.asarray(n_act, jnp.float32).reshape(1, 1)
+    sm = pl.BlockSpec((1, 1), lambda: (0, 0), memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        _make_kernel(n_cap, s_cap, a_count),
+        in_specs=[
+            pl.BlockSpec((n_cap, s_cap), lambda: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_count, n_cap), lambda: (0, 0),
+                         memory_space=pltpu.VMEM),
+            sm, sm,
+        ],
+        out_specs=pl.BlockSpec((1, a_count), lambda: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, a_count), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_cap, n_cap), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n_cap * n_cap * s_cap,
+            bytes_accessed=4 * n_cap * s_cap,
+            transcendentals=0,
+        ),
+    )(xc, carriers, fi, na)
+    return out[0]

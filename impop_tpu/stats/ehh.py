@@ -203,6 +203,35 @@ def ehh_area_dynamic(
                 best = jnp.maximum(best, cand)
         return best
 
+    # carriers read the RAW focal column — ehh_area_batch applies no site
+    # mask to the carrier selection (only the decay Grams mask sites)
+    focal_oh = (jnp.arange(s, dtype=jnp.int32) == fi_raw
+                ).astype(jnp.float32)
+    call = jnp.dot(geno.astype(jnp.float32), focal_oh,
+                   preferred_element_type=jnp.float32)
+    carriers = [member & (call == float(al)) for al in alleles]
+    n_cs = [jnp.sum(c.astype(jnp.float32)) for c in carriers]
+    denoms = [jnp.maximum(nc * (nc - 1.0) * 0.5, 1.0) for nc in n_cs]
+    carr = jnp.stack([jnp.sum(c.astype(jnp.int32)) for c in carriers])
+
+    # On TPU the whole death/steps/pair-sum computation runs as one
+    # VMEM-resident Mosaic kernel (ops/ehhdeath.py): the XLA block loop
+    # below carries [N, N] intermediates through HBM — vmapped over a
+    # scan batch that measured 198 µs/window (bench ehh_fused r5).
+    # Step sums are integer-exact in f32 (< 2^24) so both backends agree
+    # bit-for-bit.
+    if (jax.default_backend() not in ("cpu",) and n % 128 == 0):
+        from impop_tpu.ops.ehhdeath import ehh_area_pallas
+
+        s128 = ((s_pad + 127) // 128) * 128
+        xp = jnp.pad(xb, ((0, 0), (0, s128 - s_pad)))
+        carr_f = jnp.stack([c.astype(jnp.float32) for c in carriers])
+        sums = ehh_area_pallas(xp, carr_f, fi.astype(jnp.float32),
+                               n_act.astype(jnp.float32),
+                               a_count=len(carriers))
+        areas = [sums[i] / denoms[i] for i in range(len(carriers))]
+        return jnp.stack(areas), carr
+
     right_mask = (iota_s > fi).astype(jnp.float32)[None, :]
     left_mask = (iota_s < fi).astype(jnp.float32)[None, :]
     death_r = deaths(right_mask, w_desc, True)       # first disagree > fi
@@ -216,24 +245,13 @@ def ehh_area_dynamic(
     steps_l = jnp.maximum(fi - 1.0 - death_l.astype(jnp.float32), 0.0)
     steps = steps_r + steps_l
 
-    # carriers read the RAW focal column — ehh_area_batch applies no site
-    # mask to the carrier selection (only the decay Grams mask sites)
-    focal_oh = (jnp.arange(s, dtype=jnp.int32) == fi_raw
-                ).astype(jnp.float32)
-    call = jnp.dot(geno.astype(jnp.float32), focal_oh,
-                   preferred_element_type=jnp.float32)
-
-    areas, carr = [], []
+    areas = []
     upper = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
-    for al in alleles:
-        carriers = member & (call == float(al))
-        pairs = upper & carriers[:, None] & carriers[None, :]
-        n_c = jnp.sum(carriers.astype(jnp.float32))
-        denom = jnp.maximum(n_c * (n_c - 1.0) * 0.5, 1.0)
+    for ai, al in enumerate(alleles):
+        pairs = upper & carriers[ai][:, None] & carriers[ai][None, :]
         rows = jnp.sum(jnp.where(pairs, steps, 0.0), axis=1)
-        areas.append(jnp.sum(rows) / denom)
-        carr.append(jnp.sum(carriers.astype(jnp.int32)))
-    return jnp.stack(areas), jnp.stack(carr)
+        areas.append(jnp.sum(rows) / denoms[ai])
+    return jnp.stack(areas), carr
 
 
 class EhhResult(NamedTuple):

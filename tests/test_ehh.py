@@ -293,3 +293,48 @@ def test_ehh_area_dynamic_matches_static_batch(rng):
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a_dy),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(c_dy))
+
+
+def test_ehh_area_pallas_matches_xla(rng):
+    """ops/ehhdeath.py (VMEM-resident death/steps/pair sums) must equal
+    the XLA block-loop path bit-for-bit (step sums are integer-exact in
+    f32) — the `scan --ehh` TPU fast path relies on it."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from impop_tpu.ops.ehhdeath import ehh_area_pallas
+    from impop_tpu.stats.ehh import ehh_area_dynamic
+
+    n, s = 128, 128
+    geno = (rng.random((n, s)) < 0.4).astype(np.int8)
+    member = rng.random(n) < 0.85
+    smask = rng.random(s) < 0.9
+    for focal in (int(np.nonzero(smask)[0][0]), s // 2,
+                  int(np.nonzero(smask)[0][-1])):
+        if not smask[focal]:
+            continue
+        # XLA reference (CPU backend -> takes the block-loop path)
+        a_ref, c_ref = ehh_area_dynamic(
+            jnp.asarray(geno), jnp.asarray(member), jnp.asarray(smask),
+            focal, alleles=(0, 1))
+        # kernel, interpret mode, on the same compacted operands
+        act = smask.astype(np.float64)
+        rank = int(act[:focal].sum())
+        n_act = int(act.sum())
+        xc = np.zeros((n, s), np.float32)
+        xc[:, :n_act] = np.where(smask, geno, 0)[:, smask]
+        call = geno[:, focal]
+        carr = np.stack([(member & (call == al)).astype(np.float32)
+                         for al in (0, 1)])
+        with pltpu.force_tpu_interpret_mode():
+            sums = np.asarray(ehh_area_pallas(
+                jnp.asarray(xc), jnp.asarray(carr),
+                jnp.float32(rank), jnp.float32(n_act)))
+        for ai in range(2):
+            nc = carr[ai].sum()
+            denom = max(nc * (nc - 1) / 2.0, 1.0)
+            np.testing.assert_allclose(
+                sums[ai] / denom, np.asarray(a_ref)[ai], rtol=1e-6,
+                err_msg=f"focal={focal} allele={ai}")
+        np.testing.assert_array_equal(
+            np.asarray(c_ref), carr.sum(axis=1).astype(np.int32))
