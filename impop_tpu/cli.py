@@ -1661,23 +1661,36 @@ def cmd_scan(args) -> int:
                             cap_n, cap_s, lay["m"], lay["sm"],
                             lay["w"] if use_weights else -1)
                 panels = np.zeros((w, p_count, cap_n), bool)
-                lengths = np.zeros(w, np.uint32)
                 focals = np.zeros(w, np.uint32) if want_ehh else None
-                mask_by_id: dict = {}
+                lengths = np.fromiter(
+                    (reg.length for reg, _ in kept), np.uint32,
+                    count=len(kept))
+                if len(kept) < w:
+                    lengths = np.concatenate(
+                        [lengths, np.zeros(w - len(kept), np.uint32)])
+                # contiguous windows share one name set, so panel masks
+                # bulk-assign per distinct mask instead of per window
+                # (within steal-noise on this host — the loop's residual
+                # cost is the per-window names() blob lookup)
+                mask_rows: dict = {}
+                mask_vals: dict = {}
                 for wi, ((gi, k), (reg, rs)) in enumerate(zip(rows, kept)):
-                    lengths[wi] = reg.length
                     nm = batches[gi].names(k)
                     if want_ehh:
                         focals[wi] = _ehh_focal_index(
                             reg, rs, batches[gi].site_pos(k))
+                    key = id(nm)
+                    if key not in mask_vals:
+                        mask_vals[key] = (
+                            panel_masks_for(tuple(nm)) if panel_lists
+                            else len(nm))
+                    mask_rows.setdefault(key, []).append(wi)
+                for key, wis in mask_rows.items():
+                    m = mask_vals[key]
                     if panel_lists:
-                        m = mask_by_id.get(id(nm))
-                        if m is None:
-                            m = panel_masks_for(tuple(nm))
-                            mask_by_id[id(nm)] = m
-                        panels[wi, :, :len(nm)] = m
+                        panels[np.asarray(wis), :, :m.shape[1]] = m
                     else:
-                        panels[wi, 0, :len(nm)] = True
+                        panels[np.asarray(wis), 0, :m] = True
                 for nb in batches:
                     nb.close()
                 flat[:, lay["p"]:lay["l"]] = np.packbits(

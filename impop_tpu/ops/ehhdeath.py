@@ -46,18 +46,20 @@ def _make_kernel(n_cap: int, s_cap: int, a_count: int):
         n_act = na_ref[0, 0]
         iota_s = jax.lax.broadcasted_iota(
             jnp.int32, (1, s_cap), 1).astype(jnp.float32)
-        # Up to 7 blocks share ONE stacked dot: each block's 16 bit
-        # weights land in their own 17-BINADE slot (weight 2^(17·slot +
-        # bit)), so the group's whole XOR sum is a single [N, 2·16·G]
-        # contraction whose f32 EXPONENT decodes (block, bit) at once.
-        # Dominance: lower-slot junk sums to < 2^-1 of the top block's
-        # minimum contribution at 17-bit spacing, and the binade cannot
-        # be crossed even by f32 round-to-nearest (distance ≥ 2^(17s-1) ≫
-        # half-ulp).  The per-block formulation (one dot per block +
-        # select/min) measured 21-24 µs/window at [512, 128]: K = 32
-        # contractions starve the MXU; this is 2 dots per direction at
-        # K = 224/32.  Slots cap at 7 (2^(17·6+16) = 2^118 < f32 max).
-        _G = 7
+        # Up to 8 blocks share ONE stacked dot: each block's 16 bit
+        # weights land in their own 32-BINADE slot anchored at 2^-126
+        # (32·7 + 16 = 240 of f32's 253 normal binades), so the group's
+        # whole XOR sum is a single [N, 2·16·G] contraction whose f32
+        # EXPONENT decodes (block, bit) with pure shift/mask arithmetic.
+        # Dominance: lower-slot junk sums to < 2^-16 of the top block's
+        # minimum contribution, far outside round-to-nearest reach; all
+        # weights are powers of two (exact under the MXU's single-pass
+        # bf16 product), products are integers × 2^k (exact in f32), and
+        # only the leading binade is read.  Evolution measured at
+        # [512, 128] × 320 on v5e (bench ehh_fused): per-block dots +
+        # select/min 809 units/s → 16-binade max-slot combine 852 →
+        # 7-block group dot 929 → this 8-block shift-decode form.
+        _G = 8
         kvec16 = jax.lax.broadcasted_iota(jnp.int32, (1, _KB), 1)
 
         def deaths(dir_mask, pick_first):
@@ -77,7 +79,7 @@ def _make_kernel(n_cap: int, s_cap: int, a_count: int):
                     slot = (gsz - 1 - g) if pick_first else g
                     bitexp = ((_KB - 1) - kvec16) if pick_first else kvec16
                     wfull = jax.lax.bitcast_convert_type(
-                        (127 + 17 * slot + bitexp) << 23, jnp.float32)
+                        (1 + 32 * slot + bitexp) << 23, jnp.float32)
                     ab_parts += [xb * wfull, cb * wfull]
                     bb_parts += [cb, xb]
                 d_sum = jax.lax.dot_general(
@@ -85,11 +87,11 @@ def _make_kernel(n_cap: int, s_cap: int, a_count: int):
                     jnp.concatenate(bb_parts, axis=1),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                expo = (jax.lax.bitcast_convert_type(d_sum, jnp.int32)
-                        >> 23) - 127
-                # slot = expo // 17 via multiply-shift (expo < 128)
-                slot_dec = jax.lax.shift_right_logical(expo * 3856, 16)
-                e_bit = (expo - slot_dec * 17).astype(jnp.float32)
+                # biased exponent 1 + 32·slot + e  (e in [0, 15])
+                eb = jax.lax.shift_right_logical(
+                    jax.lax.bitcast_convert_type(d_sum, jnp.int32), 23) - 1
+                slot_dec = jax.lax.shift_right_logical(eb, 5)
+                e_bit = jnp.bitwise_and(eb, 31).astype(jnp.float32)
                 if pick_first:
                     b_loc = (gsz - 1) - slot_dec
                     pos = ((g0 + b_loc).astype(jnp.float32) * _KB
