@@ -65,8 +65,7 @@ def _make_kernel(n_cap: int, s_cap: int, a_count: int):
         def deaths(dir_mask, pick_first):
             x = x_all * dir_mask
             c = (1.0 - x_all) * dir_mask
-            best = jnp.full((n_cap, n_cap),
-                            float(s_cap if pick_first else -1), jnp.float32)
+            best = None
             for g0 in range(0, n_blocks, _G):
                 gsz = min(_G, n_blocks - g0)
                 ab_parts, bb_parts = [], []
@@ -80,8 +79,12 @@ def _make_kernel(n_cap: int, s_cap: int, a_count: int):
                     bitexp = ((_KB - 1) - kvec16) if pick_first else kvec16
                     wfull = jax.lax.bitcast_convert_type(
                         (1 + 32 * slot + bitexp) << 23, jnp.float32)
-                    ab_parts += [xb * wfull, cb * wfull]
-                    bb_parts += [cb, xb]
+                    # operands are 0/1 and powers of two — exact in bf16;
+                    # the explicit cast guarantees the single-pass dot
+                    ab_parts += [(xb * wfull).astype(jnp.bfloat16),
+                                 (cb * wfull).astype(jnp.bfloat16)]
+                    bb_parts += [cb.astype(jnp.bfloat16),
+                                 xb.astype(jnp.bfloat16)]
                 d_sum = jax.lax.dot_general(
                     jnp.concatenate(ab_parts, axis=1),
                     jnp.concatenate(bb_parts, axis=1),
@@ -97,12 +100,12 @@ def _make_kernel(n_cap: int, s_cap: int, a_count: int):
                     pos = ((g0 + b_loc).astype(jnp.float32) * _KB
                            + (_KB - 1) - e_bit)
                     cand = jnp.where(d_sum > 0, pos, float(s_cap))
-                    best = jnp.minimum(best, cand)
+                    best = cand if best is None else jnp.minimum(best, cand)
                 else:
                     pos = ((g0 + slot_dec).astype(jnp.float32) * _KB
                            + e_bit)
                     cand = jnp.where(d_sum > 0, pos, -1.0)
-                    best = jnp.maximum(best, cand)
+                    best = cand if best is None else jnp.maximum(best, cand)
             return best
 
         right_mask = jnp.where((iota_s > fi) & (iota_s < n_act), 1.0, 0.0)
