@@ -60,7 +60,6 @@ def _make_kernel(n_cap: int, s_cap: int, a_count: int):
         # select/min 809 units/s → 16-binade max-slot combine 852 →
         # 7-block group dot 929 → this 8-block shift-decode form.
         _G = 8
-        kvec16 = jax.lax.broadcasted_iota(jnp.int32, (1, _KB), 1)
 
         def deaths(dir_mask, pick_first):
             x = x_all * dir_mask
@@ -68,26 +67,33 @@ def _make_kernel(n_cap: int, s_cap: int, a_count: int):
             best = None
             for g0 in range(0, n_blocks, _G):
                 gsz = min(_G, n_blocks - g0)
-                ab_parts, bb_parts = [], []
-                for g in range(gsz):
-                    lo = (g0 + g) * _KB
-                    xb = x[:, lo:lo + _KB]
-                    cb = c[:, lo:lo + _KB]
-                    # within-block exponent: descending (first bit wins)
-                    # for the right scan, ascending (last wins) left
-                    slot = (gsz - 1 - g) if pick_first else g
-                    bitexp = ((_KB - 1) - kvec16) if pick_first else kvec16
-                    wfull = jax.lax.bitcast_convert_type(
-                        (1 + 32 * slot + bitexp) << 23, jnp.float32)
-                    # operands are 0/1 and powers of two — exact in bf16;
-                    # the explicit cast guarantees the single-pass dot
-                    ab_parts += [(xb * wfull).astype(jnp.bfloat16),
-                                 (cb * wfull).astype(jnp.bfloat16)]
-                    bb_parts += [cb.astype(jnp.bfloat16),
-                                 xb.astype(jnp.bfloat16)]
+                lo = g0 * _KB
+                span = gsz * _KB
+                # the whole group's weight row in one iota pass: site j
+                # (slice-local) is bit (j & 15) of block (j >> 4); block
+                # slots descend (first block wins the exponent) for the
+                # right scan, ascend (last wins) for the left — so the
+                # operands are two ALIGNED slice multiplications instead
+                # of 2·gsz narrow lane-concat pieces (the narrow concats
+                # were a measurable share of the kernel)
+                it = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+                b_vec = jax.lax.shift_right_logical(it, 4)
+                k_vec = jnp.bitwise_and(it, _KB - 1)
+                slot_vec = ((gsz - 1) - b_vec) if pick_first else b_vec
+                bitexp = ((_KB - 1) - k_vec) if pick_first else k_vec
+                wfull = jax.lax.bitcast_convert_type(
+                    (1 + 32 * slot_vec + bitexp) << 23, jnp.float32)
+                xs = x[:, lo:lo + span]
+                cs = c[:, lo:lo + span]
+                # operands are 0/1 and powers of two — exact in bf16; the
+                # explicit cast guarantees the single-pass dot
                 d_sum = jax.lax.dot_general(
-                    jnp.concatenate(ab_parts, axis=1),
-                    jnp.concatenate(bb_parts, axis=1),
+                    jnp.concatenate(
+                        [(xs * wfull).astype(jnp.bfloat16),
+                         (cs * wfull).astype(jnp.bfloat16)], axis=1),
+                    jnp.concatenate(
+                        [cs.astype(jnp.bfloat16),
+                         xs.astype(jnp.bfloat16)], axis=1),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 # biased exponent 1 + 32·slot + e  (e in [0, 15])
