@@ -109,10 +109,6 @@ def _make_kernel(n_cap: int, block: int, r_count: int, pq: int, q: int,
         linkf = jnp.where(
             (sim > thr) & present & (row_ids < col_ids), 1.0, 0.0)
 
-        kvec = jax.lax.broadcasted_iota(jnp.int32, (1, _KB), 1)
-        weights = jax.lax.bitcast_convert_type(
-            (127 + _KB - 1 - kvec) << 23, jnp.float32)      # [1, KB]
-
         seeds_acc[:] = jnp.zeros_like(seeds_acc)
         gid_acc[:] = jnp.full_like(gid_acc, n_cap)
         w_acc[:] = jnp.zeros_like(w_acc)
@@ -177,22 +173,41 @@ def _make_kernel(n_cap: int, block: int, r_count: int, pq: int, q: int,
             if stages < 3:
                 continue
 
-            # fused gid for this chunk's columns (idgroup.py: plain 2-D
-            # dots per 16-row block, exact f32-exponent readback)
+            # fused gid for this chunk's columns: 8 seed-row blocks of 16
+            # share ONE dot by giving each block its own 32-BINADE weight
+            # slot (the ops/ehhdeath.py decode trick — smaller row index
+            # = larger exponent, strictly monotone, junk provably below
+            # half an integer step even after f32 rounding), so the
+            # argmin reads back from a single exponent per 128-row group
+            # instead of one tiny K=16 dot per block (the per-block form
+            # was MXU-dispatch-bound; narrow 16-lane slices also cost —
+            # the EHH kernel measured them at ~25%).
             sa = seeds_acc[:]
             min_cand = jnp.full((r_count, block), n_cap, jnp.int32)
-            for b in range((lo + block) // _KB):
-                wseed_b = sa[:, b * _KB:(b + 1) * _KB] * weights
-                eb_b = elink_c[b * _KB:(b + 1) * _KB, :]    # [KB, K]
-                s_b = jax.lax.dot_general(
-                    wseed_b, eb_b, (((1,), (0,)), ((), ())),
+            n_rows = lo + block
+            for grp0 in range(0, n_rows, 8 * _KB):
+                gsz = min(8 * _KB, n_rows - grp0)
+                nblk = gsz // _KB
+                it = jax.lax.broadcasted_iota(jnp.int32, (1, gsz), 1)
+                b_loc = jax.lax.shift_right_logical(it, 4)
+                k_loc = jnp.bitwise_and(it, _KB - 1)
+                w_row = jax.lax.bitcast_convert_type(
+                    (1 + 32 * ((nblk - 1) - b_loc)
+                     + ((_KB - 1) - k_loc)) << 23, jnp.float32)
+                ws = sa[:, grp0:grp0 + gsz] * w_row         # [R, gsz]
+                eb = elink_c[grp0:grp0 + gsz, :]            # [gsz, K]
+                s_g = jax.lax.dot_general(
+                    ws, eb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-                expo = (jax.lax.bitcast_convert_type(s_b, jnp.int32)
-                        >> 23) - 127
-                cand_b = jnp.where(
-                    s_b > 0, b * _KB + (_KB - 1 - expo), n_cap)
-                min_cand = jnp.minimum(min_cand, cand_b)
+                )                                           # [R, K]
+                ebx = jax.lax.shift_right_logical(
+                    jax.lax.bitcast_convert_type(s_g, jnp.int32), 23) - 1
+                s_slot = jax.lax.shift_right_logical(ebx, 5)
+                e_low = jnp.bitwise_and(ebx, 31)
+                j_loc = (_KB * ((nblk - 1) - s_slot)
+                         + ((_KB - 1) - e_low))
+                cand = jnp.where(s_g > 0, grp0 + j_loc, n_cap)
+                min_cand = jnp.minimum(min_cand, cand)
             col_c = (jax.lax.broadcasted_iota(
                 jnp.int32, (r_count, block), 1) + lo)
             gid_c = jnp.where(seed_c > 0.5, col_c, min_cand)
