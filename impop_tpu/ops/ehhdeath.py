@@ -124,16 +124,30 @@ def _make_kernel(n_cap: int, s_cap: int, a_count: int):
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_cap, n_cap), 0)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (n_cap, n_cap), 1)
         upper = jnp.where(row_ids < col_ids, 1.0, 0.0)
-        eye_f = jnp.where(row_ids == col_ids, 1.0, 0.0)
         steps_acc[:] = steps * upper
+        # per-allele pair sums as a bilinear form ca·SU·caᵀ: one [A, N]
+        # dot + a rowsum instead of per-allele [N, N] elementwise chains
+        # and a column-orientation eye dot.  Exactness: step values are
+        # integers ≤ S — bf16-exact for S ≤ 256; above, split into
+        # multiples of 256 + remainder (both bf16-exact) and run two
+        # single-pass dots (the ops/windowstat.py stage-4 trick).
+        ca = carr_ref[:]                                    # [A, N]
+        if s_cap <= 256:
+            t_mid = jax.lax.dot_general(
+                ca, steps_acc[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [A, N]
+        else:
+            su = steps_acc[:]
+            s_hi = jnp.floor(su * (1.0 / 256.0)) * 256.0
+            t_mid = (jax.lax.dot_general(
+                         ca, s_hi, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                         ca, su - s_hi, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32))
+        sums = jnp.sum(t_mid * ca, axis=1, keepdims=True)   # [A, 1]
         for a in range(a_count):
-            ca_row = carr_ref[a:a + 1, :]                   # [1, N]
-            ca_col = jax.lax.dot_general(
-                eye_f, ca_row, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [N, 1]
-            rows = jnp.sum(steps_acc[:] * ca_row, axis=1,
-                           keepdims=True)                   # [N, 1]
-            sum_ref[0, a] = jnp.sum(rows * ca_col)
+            sum_ref[0, a] = sums[a, 0]
 
     return kernel
 
